@@ -1,0 +1,327 @@
+"""Typed configuration tree for environments and training.
+
+Replaces the reference's nested-class config kernel
+(``base_config.py:8-25`` + ``legged_robot_config.py``) with plain Python
+dataclasses. Field names, defaults, and semantics are kept 1:1 with
+``LeggedRobotCfg`` / ``LeggedRobotCfgPPO`` (legged_robot_config.py:51-286)
+so that per-robot configs read like the reference's and CLI overrides
+(--num_envs/--seed/--max_iterations/...) keep their meaning
+(helpers.py:97-120). Reward scales and command ranges are dicts (the
+reference converts its class blobs to dicts before use anyway,
+legged_robot.py:58-60).
+
+Configs are *static*: they are consumed at trace time to build jitted
+closures. Mutate them freely while building a task; never inside jit.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+def _d(**kw):
+    return field(default_factory=lambda: dict(kw))
+
+
+def _l(*args):
+    return field(default_factory=lambda: list(args))
+
+
+@dataclass
+class EnvCfg:
+    num_envs: int = 4096
+    num_observations: int = 48
+    num_privileged_obs: Optional[int] = None
+    num_actions: int = 12
+    env_spacing: float = 3.0
+    send_timeouts: bool = True
+    episode_length_s: float = 20.0
+    test: bool = False
+
+
+@dataclass
+class TerrainCfg:
+    mesh_type: str = "plane"        # none | plane | heightfield | trimesh
+    horizontal_scale: float = 0.1
+    vertical_scale: float = 0.005
+    border_size: float = 25.0
+    curriculum: bool = True
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+    measure_heights: bool = True
+    measured_points_x: List[float] = _l(
+        -0.8, -0.7, -0.6, -0.5, -0.4, -0.3, -0.2, -0.1,
+        0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+    )
+    measured_points_y: List[float] = _l(
+        -0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5
+    )
+    selected: bool = False
+    terrain_kwargs: Optional[dict] = None
+    max_init_terrain_level: int = 5
+    terrain_length: float = 8.0
+    terrain_width: float = 8.0
+    num_rows: int = 10
+    num_cols: int = 20
+    terrain_proportions: List[float] = _l(0.1, 0.1, 0.35, 0.25, 0.2)
+    slope_treshold: float = 0.75
+
+
+@dataclass
+class CommandsCfg:
+    curriculum: bool = False
+    max_curriculum: float = 1.0
+    num_commands: int = 4           # lin_vel_x, lin_vel_y, ang_vel_yaw, heading
+    resampling_time: float = 10.0
+    heading_command: bool = True
+    ranges: Dict[str, Tuple[float, float]] = _d(
+        lin_vel_x=(-1.0, 1.0),
+        lin_vel_y=(-1.0, 1.0),
+        ang_vel_yaw=(-1.0, 1.0),
+        heading=(-3.14, 3.14),
+    )
+
+
+@dataclass
+class InitStateCfg:
+    pos: List[float] = _l(0.0, 0.0, 1.0)
+    rot: List[float] = _l(0.0, 0.0, 0.0, 1.0)     # xyzw
+    lin_vel: List[float] = _l(0.0, 0.0, 0.0)
+    ang_vel: List[float] = _l(0.0, 0.0, 0.0)
+    default_joint_angles: Dict[str, float] = _d()
+
+
+@dataclass
+class ControlCfg:
+    control_type: str = "P"         # P | V | T
+    stiffness: Dict[str, float] = _d()
+    damping: Dict[str, float] = _d()
+    action_scale: float = 0.5
+    decimation: int = 4
+
+
+@dataclass
+class AssetCfg:
+    file: str = ""
+    name: str = "legged_robot"
+    foot_name: str = "None"
+    penalize_contacts_on: List[str] = _l()
+    terminate_after_contacts_on: List[str] = _l()
+    disable_gravity: bool = False
+    collapse_fixed_joints: bool = True
+    fix_base_link: bool = False
+    self_collisions: int = 0
+    replace_cylinder_with_capsule: bool = True
+    flip_visual_attachments: bool = True
+    density: float = 0.001
+    angular_damping: float = 0.0
+    linear_damping: float = 0.0
+    max_angular_velocity: float = 1000.0
+    max_linear_velocity: float = 1000.0
+    armature: float = 0.0
+    thickness: float = 0.01
+
+
+@dataclass
+class DomainRandCfg:
+    randomize_friction: bool = True
+    friction_range: Tuple[float, float] = (0.5, 1.25)
+    randomize_base_mass: bool = False
+    added_mass_range: Tuple[float, float] = (-1.0, 1.0)
+    push_robots: bool = True
+    push_interval_s: float = 15.0
+    max_push_vel_xy: float = 1.0
+
+
+def base_reward_scales() -> Dict[str, float]:
+    """Default reward scales (legged_robot_config.py:160-175). Zero-scale
+    terms are pruned at env build, like _prepare_reward_function
+    (legged_robot.py:822-827)."""
+    return dict(
+        termination=-0.0,
+        tracking_lin_vel=1.0,
+        tracking_ang_vel=0.5,
+        lin_vel_z=-2.0,
+        ang_vel_xy=-0.05,
+        orientation=-0.0,
+        torques=-0.00001,
+        dof_vel=-0.0,
+        dof_acc=-2.5e-7,
+        base_height=-0.0,
+        feet_air_time=1.0,
+        collision=-1.0,
+        feet_stumble=-0.0,
+        action_rate=-0.01,
+        stand_still=-0.0,
+    )
+
+
+@dataclass
+class RewardsCfg:
+    scales: Dict[str, float] = field(default_factory=base_reward_scales)
+    only_positive_rewards: bool = True
+    tracking_sigma: float = 0.25
+    soft_dof_pos_limit: float = 1.0
+    soft_dof_vel_limit: float = 1.0
+    soft_torque_limit: float = 1.0
+    base_height_target: float = 1.0
+    max_contact_force: float = 100.0
+
+
+@dataclass
+class NormalizationCfg:
+    obs_scales: Dict[str, float] = _d(
+        lin_vel=2.0,
+        ang_vel=0.25,
+        dof_pos=1.0,
+        dof_vel=0.05,
+        height_measurements=5.0,
+    )
+    clip_observations: float = 100.0
+    clip_actions: float = 100.0
+
+
+@dataclass
+class NoiseCfg:
+    add_noise: bool = True
+    noise_level: float = 1.0
+    noise_scales: Dict[str, float] = _d(
+        dof_pos=0.01,
+        dof_vel=1.5,
+        lin_vel=0.1,
+        ang_vel=0.2,
+        gravity=0.05,
+        height_measurements=0.1,
+    )
+
+
+@dataclass
+class ViewerCfg:
+    ref_env: int = 0
+    pos: List[float] = _l(10.0, 0.0, 6.0)
+    lookat: List[float] = _l(11.0, 5.0, 3.0)
+
+
+@dataclass
+class SimCfg:
+    dt: float = 0.005
+    substeps: int = 1
+    gravity: List[float] = _l(0.0, 0.0, -9.81)
+    up_axis: int = 1
+    # penalty-contact solver constants (TPU-native replacement for the
+    # reference's PhysX block, legged_robot_config.py:231-242)
+    contact_stiffness: float = 10_000.0
+    contact_damping: float = 200.0
+    slip_vel: float = 0.1
+
+
+@dataclass
+class LeggedRobotCfg:
+    env: EnvCfg = field(default_factory=EnvCfg)
+    terrain: TerrainCfg = field(default_factory=TerrainCfg)
+    commands: CommandsCfg = field(default_factory=CommandsCfg)
+    init_state: InitStateCfg = field(default_factory=InitStateCfg)
+    control: ControlCfg = field(default_factory=ControlCfg)
+    asset: AssetCfg = field(default_factory=AssetCfg)
+    domain_rand: DomainRandCfg = field(default_factory=DomainRandCfg)
+    rewards: RewardsCfg = field(default_factory=RewardsCfg)
+    normalization: NormalizationCfg = field(default_factory=NormalizationCfg)
+    noise: NoiseCfg = field(default_factory=NoiseCfg)
+    viewer: ViewerCfg = field(default_factory=ViewerCfg)
+    sim: SimCfg = field(default_factory=SimCfg)
+    seed: int = 1
+
+    def copy(self) -> "LeggedRobotCfg":
+        return copy.deepcopy(self)
+
+
+# ---------------------------------------------------------------------------
+# Training (PPO) config — mirrors LeggedRobotCfgPPO
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PolicyCfg:
+    init_noise_std: float = 1.0
+    actor_hidden_dims: List[int] = _l(512, 256, 128)
+    critic_hidden_dims: List[int] = _l(512, 256, 128)
+    activation: str = "elu"
+    # only for ActorCriticRecurrent:
+    rnn_type: str = "lstm"
+    rnn_hidden_size: int = 64
+    rnn_num_layers: int = 1
+
+
+@dataclass
+class AlgorithmCfg:
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.01
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1.0e-3
+    schedule: str = "adaptive"      # adaptive | fixed
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+
+
+@dataclass
+class RunnerCfg:
+    policy_class_name: str = "ActorCritic"
+    algorithm_class_name: str = "PPO"
+    num_steps_per_env: int = 24
+    max_iterations: int = 1500
+    save_interval: int = 50
+    experiment_name: str = "test"
+    run_name: str = ""
+    resume: bool = False
+    load_run: str | int = -1
+    checkpoint: int = -1
+    resume_path: Optional[str] = None
+
+
+@dataclass
+class TrainCfg:
+    seed: int = 1
+    runner_class_name: str = "OnPolicyRunner"
+    policy: PolicyCfg = field(default_factory=PolicyCfg)
+    algorithm: AlgorithmCfg = field(default_factory=AlgorithmCfg)
+    runner: RunnerCfg = field(default_factory=RunnerCfg)
+
+    def copy(self) -> "TrainCfg":
+        return copy.deepcopy(self)
+
+
+def class_to_dict(obj) -> dict:
+    """Recursive dataclass -> dict (reference helpers.py:11-26 analogue,
+    used for checkpoint metadata / logging)."""
+    if dataclasses.is_dataclass(obj):
+        return {
+            f.name: class_to_dict(getattr(obj, f.name))
+            for f in dataclasses.fields(obj)
+        }
+    if isinstance(obj, dict):
+        return {k: class_to_dict(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(class_to_dict(v) for v in obj)
+    return obj
+
+
+def update_class_from_dict(obj, d: dict):
+    """Apply a nested dict of overrides (reference helpers.py:28-35)."""
+    for k, v in d.items():
+        attr = getattr(obj, k, None)
+        if dataclasses.is_dataclass(attr) and isinstance(v, dict):
+            update_class_from_dict(attr, v)
+        elif isinstance(attr, dict) and isinstance(v, dict):
+            attr.update(v)
+        else:
+            setattr(obj, k, v)
+    return obj
