@@ -1,0 +1,588 @@
+"""LeggedEnv — pure-functional vectorized environment core.
+
+TPU-native replacement for the reference's ``BaseTask``/``LeggedRobot``
+stateful env (legged_gym/envs/base/{base_task,legged_robot}.py). The entire
+per-control-step pipeline of the reference (SURVEY.md §3.2) — decimated PD
+physics, command resampling + heading controller, termination, reward
+engine, fused ``where``-masked resets, pushes, observation building with
+noise — is one pure function
+
+    step(state, actions) -> (state, obs, priv_obs, rew, reset, extras)
+
+with no host synchronization: `vmap` over envs inside, `lax.scan`-able over
+rollout steps, shardable over a device mesh along the env axis.
+
+Pipeline order is kept exactly as the reference's ``post_physics_step``
+(legged_robot.py:615-709): resample-commands *before* rewards, resets
+*after* rewards, pushes *after* resets, observations last.
+
+Numeric contracts preserved (the portable spec):
+  * PD torque law + URDF effort clipping   legged_robot.py:649-671
+  * obs layout / scales / clipping         legged_robot.py:789-811, 643-646
+  * noise vector layout                    legged_robot.py:188-219
+  * reward definitions & dt scaling        legged_robot.py:817-939
+  * termination: contact>1N, |pitch|>1.0,
+    |roll|>0.8, timeout                    legged_robot.py:711-721
+  * reset distributions: dof U(0.5,1.5)x
+    default, root vel U(-0.5,0.5)          legged_robot.py:557-594
+  * command resampling + small-cmd zeroing legged_robot.py:519-538
+  * heading P-controller                   legged_robot.py:513-516
+  * push = overwrite world vxy             legged_robot.py:540-555
+  * DR: 64 friction buckets, base mass     legged_robot.py:429-439, 472-483
+  * extras schema (episode sums, timeouts) legged_robot.py:758-768
+"""
+
+from __future__ import annotations
+
+import types
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from unitree_rl_gym_tpu.envs import rewards as R
+from unitree_rl_gym_tpu.models.robot import Robot, build_robot
+from unitree_rl_gym_tpu.physics import contact as ct
+from unitree_rl_gym_tpu.physics import engine as eng
+from unitree_rl_gym_tpu.utils import math as tm
+from unitree_rl_gym_tpu.utils.config import LeggedRobotCfg
+from unitree_rl_gym_tpu import resource
+
+
+class EnvState(struct.PyTreeNode):
+    """Complete batched environment state (everything that evolves)."""
+
+    phys: eng.PhysicsState          # [N, ...]
+    episode_length: jax.Array       # [N] int32
+    commands: jax.Array             # [N, 4]
+    actions: jax.Array              # [N, na]
+    last_actions: jax.Array         # [N, na]
+    last_dof_vel: jax.Array         # [N, nj]
+    feet_air_time: jax.Array        # [N, nf]
+    last_contacts: jax.Array        # [N, nf] bool
+    friction: jax.Array             # [N] DR shape friction
+    mass_scale: jax.Array           # [N] DR base-mass factor
+    episode_sums: jax.Array         # [N, n_terms]
+    obs: jax.Array                  # [N, num_obs]
+    priv_obs: Optional[jax.Array]   # [N, num_priv] or None
+    key: jax.Array                  # PRNG key
+
+
+class LeggedEnv:
+    """Static task description + pure step/reset functions.
+
+    Matches the VecEnv protocol surface the reference exposes to rsl_rl
+    (base_task.py:41-89): num_envs/num_obs/num_privileged_obs/num_actions/
+    max_episode_length plus step/reset/get_observations — in functional form.
+    """
+
+    def __init__(self, cfg: LeggedRobotCfg, robot: Optional[Robot] = None):
+        self.cfg = cfg
+        self.robot = robot or build_robot(
+            resource(cfg.asset.file), armature=cfg.asset.armature,
+            gravity=tuple(cfg.sim.gravity),
+        )
+        r = self.robot
+        self.num_envs = cfg.env.num_envs
+        self.num_obs = cfg.env.num_observations
+        self.num_privileged_obs = cfg.env.num_privileged_obs
+        self.num_actions = cfg.env.num_actions
+        self.dt = cfg.control.decimation * cfg.sim.dt          # _parse_cfg
+        self.max_episode_length_s = cfg.env.episode_length_s
+        self.max_episode_length = int(
+            np.ceil(self.max_episode_length_s / self.dt)
+        )
+        self.push_interval = int(
+            np.ceil(cfg.domain_rand.push_interval_s / self.dt)
+        )
+        self.resample_interval = int(cfg.commands.resampling_time / self.dt)
+
+        # --- model-derived constants ---
+        self.default_dof_pos = jnp.asarray(
+            r.default_dof_pos(cfg.init_state.default_joint_angles),
+            jnp.float32,
+        )
+        kp, kd = r.pd_gains(cfg.control.stiffness, cfg.control.damping)
+        if (kp == 0).any():
+            for i, name in enumerate(r.dof_names):
+                if kp[i] == 0:
+                    print(f"PD gain of joint {name} were not defined, setting them to zero")
+        self.pd = eng.PDParams(
+            kp=jnp.asarray(kp, jnp.float32),
+            kd=jnp.asarray(kd, jnp.float32),
+            torque_limit=jnp.asarray(r.dof_effort, jnp.float32),
+            clip_torque=True,
+        )
+        self.cparams = ct.ContactParams(
+            terrain_friction=cfg.terrain.static_friction,
+        )
+        # soft dof-pos limits (legged_robot.py:466-469)
+        m = (r.dof_lower + r.dof_upper) / 2
+        rng = r.dof_upper - r.dof_lower
+        self.dof_pos_soft_lo = jnp.asarray(
+            m - 0.5 * rng * cfg.rewards.soft_dof_pos_limit, jnp.float32
+        )
+        self.dof_pos_soft_hi = jnp.asarray(
+            m + 0.5 * rng * cfg.rewards.soft_dof_pos_limit, jnp.float32
+        )
+        self.dof_vel_limits = jnp.asarray(r.dof_velocity, jnp.float32)
+        self.torque_limits = jnp.asarray(r.dof_effort, jnp.float32)
+
+        # body groups (legged_robot.py:346-352, 384-407)
+        self.feet_indices = jnp.asarray(
+            r.body_indices([cfg.asset.foot_name])
+        )
+        self.penalised_contact_indices = jnp.asarray(
+            r.body_indices(cfg.asset.penalize_contacts_on), dtype=jnp.int32
+        )
+        self.termination_contact_indices = jnp.asarray(
+            r.body_indices(cfg.asset.terminate_after_contacts_on),
+            dtype=jnp.int32,
+        )
+        self.num_feet = int(self.feet_indices.shape[0])
+
+        # commands scale (legged_robot.py:154-155)
+        osc = cfg.normalization.obs_scales
+        self.commands_scale = jnp.asarray(
+            [osc["lin_vel"], osc["lin_vel"], osc["ang_vel"]], jnp.float32
+        )
+
+        # base init state (pos/rot/lin/ang, legged_robot.py:354-355)
+        self.base_init_pos = jnp.asarray(cfg.init_state.pos, jnp.float32)
+        self.base_init_quat = jnp.asarray(cfg.init_state.rot, jnp.float32)
+
+        # contact-solver preconditioner at nominal pose
+        self.m_eff_n, self.m_eff_t = ct.point_effective_mass(
+            r.dyn, self.base_init_quat, self.base_init_pos,
+            self.default_dof_pos,
+        )
+
+        # reward machinery: prune zero scales, multiply by dt
+        # (legged_robot.py:821-836)
+        self.reward_fns = self._reward_registry()
+        self.reward_names = []
+        self.reward_scales = []
+        for name, scale in cfg.rewards.scales.items():
+            if scale == 0 or name == "termination":
+                continue
+            if name not in self.reward_fns:
+                raise KeyError(f"no reward function for scale '{name}'")
+            self.reward_names.append(name)
+            self.reward_scales.append(scale * self.dt)
+        self.termination_scale = (
+            cfg.rewards.scales.get("termination", 0.0) * self.dt
+        )
+        self.episode_term_names = list(self.reward_names) + (
+            ["termination"] if self.termination_scale != 0 else []
+        )
+
+        self.noise_scale_vec = jnp.asarray(
+            self._noise_scale_vec(), jnp.float32
+        )
+
+    # ------------------------------------------------------------------
+    # overridable hooks (per-robot subclasses)
+    # ------------------------------------------------------------------
+
+    def _reward_registry(self):
+        return R.BASE_REWARDS
+
+    def _noise_scale_vec(self) -> np.ndarray:
+        """Base 48-dim layout (legged_robot.py:188-219)."""
+        cfg = self.cfg
+        na = self.num_actions
+        ns = cfg.noise.noise_scales
+        osc = cfg.normalization.obs_scales
+        lvl = cfg.noise.noise_level
+        vec = np.zeros(self.num_obs, np.float32)
+        vec[0:3] = ns["lin_vel"] * lvl * osc["lin_vel"]
+        vec[3:6] = ns["ang_vel"] * lvl * osc["ang_vel"]
+        vec[6:9] = ns["gravity"] * lvl
+        vec[9:12] = 0.0  # commands
+        vec[12:12 + na] = ns["dof_pos"] * lvl * osc["dof_pos"]
+        vec[12 + na:12 + 2 * na] = ns["dof_vel"] * lvl * osc["dof_vel"]
+        vec[12 + 2 * na:12 + 3 * na] = 0.0  # previous actions
+        return vec
+
+    def _build_obs(self, ctx) -> Tuple[jax.Array, Optional[jax.Array]]:
+        """Base 48-dim observation (legged_robot.py:789-807)."""
+        osc = self.cfg.normalization.obs_scales
+        obs = jnp.concatenate(
+            (
+                ctx.base_lin_vel * osc["lin_vel"],
+                ctx.base_ang_vel * osc["ang_vel"],
+                ctx.projected_gravity,
+                ctx.commands[:, :3] * self.commands_scale,
+                (ctx.dof_pos - self.default_dof_pos) * osc["dof_pos"],
+                ctx.dof_vel * osc["dof_vel"],
+                ctx.actions,
+            ),
+            axis=-1,
+        )
+        return obs, None
+
+    def _callback(self, ctx, state: EnvState) -> EnvState:
+        """Post-physics, pre-termination hook (humanoids add phase/feet
+        tracking here, g1_env.py:56-105). Base: no-op."""
+        return state
+
+    def _extra_ctx(self, ctx, state: EnvState):
+        """Attach subclass-specific fields to the reward/obs context."""
+        return ctx
+
+    def _compute_target(self, actions):
+        """action -> PD position target (legged_robot.py:661-664);
+        handstand clamps rear-leg targets (go2_handstand_env.py:326-350)."""
+        return (
+            actions * self.cfg.control.action_scale + self.default_dof_pos
+        )
+
+    def _check_termination(self, ctx):
+        """reset_buf = illegal contact ∪ tip-over ∪ timeout
+        (legged_robot.py:711-721)."""
+        cf = ctx.contact_forces[:, self.termination_contact_indices, :]
+        illegal = jnp.any(jnp.linalg.norm(cf, axis=-1) > 1.0, axis=1)
+        tipped = (jnp.abs(ctx.rpy[:, 1]) > 1.0) | (jnp.abs(ctx.rpy[:, 0]) > 0.8)
+        time_out = ctx.episode_length > self.max_episode_length
+        return illegal | tipped | time_out, time_out
+
+    # ------------------------------------------------------------------
+    # reset sampling
+    # ------------------------------------------------------------------
+
+    def _sample_reset(self, key, n):
+        """Fresh physics state + commands for ``n`` envs
+        (legged_robot.py:557-594, 519-538)."""
+        nj = self.robot.num_dof
+        k1, k2, k3 = jax.random.split(key, 3)
+        dof_pos = self.default_dof_pos * jax.random.uniform(
+            k1, (n, nj), minval=0.5, maxval=1.5
+        )
+        base_vel = jax.random.uniform(k2, (n, 6), minval=-0.5, maxval=0.5)
+        # reference order: [lin_vel(world) 7:10, ang_vel(world) 10:13];
+        # our v is [ang(body); lin(body)] — identity init rot => same frame
+        v = jnp.zeros((n, 6 + nj))
+        v = v.at[:, 0:3].set(base_vel[:, 3:6])
+        v = v.at[:, 3:6].set(base_vel[:, 0:3])
+        phys = eng.PhysicsState(
+            base_pos=jnp.broadcast_to(self.base_init_pos, (n, 3)),
+            base_quat=jnp.broadcast_to(self.base_init_quat, (n, 4)),
+            joint_q=dof_pos,
+            v=v,
+        )
+        commands = self._sample_commands(k3, n)
+        return phys, commands
+
+    def _sample_commands(self, key, n):
+        cr = self.cfg.commands.ranges
+        kx, ky, kz = jax.random.split(key, 3)
+        cmd = jnp.zeros((n, 4))
+        cmd = cmd.at[:, 0].set(
+            jax.random.uniform(kx, (n,), minval=cr["lin_vel_x"][0],
+                               maxval=cr["lin_vel_x"][1])
+        )
+        cmd = cmd.at[:, 1].set(
+            jax.random.uniform(ky, (n,), minval=cr["lin_vel_y"][0],
+                               maxval=cr["lin_vel_y"][1])
+        )
+        if self.cfg.commands.heading_command:
+            cmd = cmd.at[:, 3].set(
+                jax.random.uniform(kz, (n,), minval=cr["heading"][0],
+                                   maxval=cr["heading"][1])
+            )
+        else:
+            cmd = cmd.at[:, 2].set(
+                jax.random.uniform(kz, (n,), minval=cr["ang_vel_yaw"][0],
+                                   maxval=cr["ang_vel_yaw"][1])
+            )
+        # set small commands to zero (legged_robot.py:538)
+        keep = (jnp.linalg.norm(cmd[:, :2], axis=1) > 0.2)[:, None]
+        cmd = cmd.at[:, :2].multiply(keep.astype(cmd.dtype))
+        return cmd
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+
+    def reset_all(self, key, init_at_random_ep_len: bool = False):
+        """Reset every env; returns (state, obs). Mirrors BaseTask.reset()
+        = reset all + one zero-action step (base_task.py:82-86)."""
+        N = self.num_envs
+        nj = self.robot.num_dof
+        key, k_reset, k_fric, k_bucket, k_mass, k_len = jax.random.split(key, 6)
+        phys, commands = self._sample_reset(k_reset, N)
+
+        dr = self.cfg.domain_rand
+        if dr.randomize_friction:
+            # 64 friction buckets (legged_robot.py:432-436)
+            buckets = jax.random.uniform(
+                k_fric, (64,), minval=dr.friction_range[0],
+                maxval=dr.friction_range[1],
+            )
+            ids = jax.random.randint(k_bucket, (N,), 0, 64)
+            friction = buckets[ids]
+        else:
+            friction = jnp.full((N,), self.cfg.terrain.static_friction)
+        if dr.randomize_base_mass:
+            added = jax.random.uniform(
+                k_mass, (N,), minval=dr.added_mass_range[0],
+                maxval=dr.added_mass_range[1],
+            )
+            mass_scale = 1.0 + added / self.robot.dyn.base_mass
+        else:
+            mass_scale = jnp.ones((N,))
+
+        episode_length = (
+            jax.random.randint(k_len, (N,), 0, self.max_episode_length)
+            if init_at_random_ep_len
+            else jnp.zeros((N,), jnp.int32)
+        )
+
+        state = EnvState(
+            phys=phys,
+            episode_length=episode_length.astype(jnp.int32),
+            commands=commands,
+            actions=jnp.zeros((N, self.num_actions)),
+            last_actions=jnp.zeros((N, self.num_actions)),
+            last_dof_vel=jnp.zeros((N, nj)),
+            feet_air_time=jnp.zeros((N, self.num_feet)),
+            last_contacts=jnp.zeros((N, self.num_feet), bool),
+            friction=friction,
+            mass_scale=mass_scale,
+            episode_sums=jnp.zeros((N, len(self.episode_term_names))),
+            obs=jnp.zeros((N, self.num_obs)),
+            priv_obs=(
+                jnp.zeros((N, self.num_privileged_obs))
+                if self.num_privileged_obs else None
+            ),
+            key=key,
+        )
+        state, obs, *_ = self.step(state, jnp.zeros((N, self.num_actions)))
+        return state, obs
+
+    def step(self, state: EnvState, actions):
+        """One control step for all envs. See module docstring for the
+        preserved ordering."""
+        cfg = self.cfg
+        N = self.num_envs
+        clip_a = cfg.normalization.clip_actions
+        actions = jnp.clip(actions, -clip_a, clip_a)
+
+        # ---- physics (decimated PD loop), vmapped over envs ----
+        target = self._compute_target(actions)
+        model, cp, pd = self.robot.dyn, self.cparams, self.pd
+        sim_dt, dec = cfg.sim.dt, cfg.control.decimation
+        m_n, m_t = self.m_eff_n, self.m_eff_t
+
+        def one_env(phys, tgt, fric, mass):
+            return eng.control_step(
+                model, cp, pd, sim_dt, dec, phys, tgt, fric, mass, m_n, m_t
+            )
+
+        phys, aux = jax.vmap(one_env)(
+            state.phys, target, state.friction, state.mass_scale
+        )
+        state = state.replace(phys=phys, actions=actions)
+
+        # ---- post-physics quantities (legged_robot.py:681-690) ----
+        episode_length = state.episode_length + 1
+        state = state.replace(episode_length=episode_length)
+
+        base_quat = phys.base_quat
+        ctx = types.SimpleNamespace(
+            cfg=cfg,
+            num_envs=N,
+            dt=self.dt,
+            base_pos=phys.base_pos,
+            base_quat=base_quat,
+            rpy=tm.get_euler_xyz(base_quat),
+            base_ang_vel=phys.v[:, 0:3],
+            base_lin_vel=phys.v[:, 3:6],
+            projected_gravity=jax.vmap(tm.quat_rotate_inverse)(
+                base_quat, jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (N, 3))
+            ),
+            dof_pos=phys.joint_q,
+            dof_vel=phys.v[:, 6:],
+            last_dof_vel=state.last_dof_vel,
+            torques=aux["torques"],
+            contact_forces=aux["cf_rb"],
+            rb_pos_w=aux["rb_pos_w"],
+            rb_vel_w=aux["rb_vel_w"],
+            feet_pos=aux["rb_pos_w"][:, self.feet_indices, :],
+            feet_vel=aux["rb_vel_w"][:, self.feet_indices, :],
+            actions=actions,
+            last_actions=state.last_actions,
+            episode_length=episode_length,
+            feet_indices=self.feet_indices,
+            penalised_contact_indices=self.penalised_contact_indices,
+            default_dof_pos=self.default_dof_pos,
+            dof_pos_soft_lo=self.dof_pos_soft_lo,
+            dof_pos_soft_hi=self.dof_pos_soft_hi,
+            dof_vel_limits=self.dof_vel_limits,
+            torque_limits=self.torque_limits,
+            commands=state.commands,
+        )
+        ctx = self._extra_ctx(ctx, state)
+
+        # ---- command resample + heading controller + subclass callback
+        #      (legged_robot.py:488-517) ----
+        key, k_cmd, k_push, k_reset, k_noise = jax.random.split(state.key, 5)
+        resample_mask = (episode_length % self.resample_interval) == 0
+        new_cmds = self._sample_commands(k_cmd, N)
+        commands = jnp.where(
+            resample_mask[:, None], new_cmds, state.commands
+        )
+        if cfg.commands.heading_command:
+            forward = jax.vmap(tm.quat_rotate)(
+                base_quat, jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (N, 3))
+            )
+            heading = jnp.arctan2(forward[:, 1], forward[:, 0])
+            commands = commands.at[:, 2].set(
+                jnp.clip(
+                    0.5 * tm.wrap_to_pi(commands[:, 3] - heading), -1.0, 1.0
+                )
+            )
+        state = state.replace(commands=commands, key=key)
+        ctx.commands = commands
+        state = self._callback(ctx, state)
+
+        # ---- termination (legged_robot.py:711-721) ----
+        reset_buf, time_out_buf = self._check_termination(ctx)
+        ctx.reset_buf = reset_buf
+        ctx.time_out_buf = time_out_buf
+
+        # ---- feet air time bookkeeping (inside _reward_feet_air_time in
+        #      the reference, legged_robot.py:912-923; hoisted here so the
+        #      state update stays fused with resets) ----
+        contact = ctx.contact_forces[:, self.feet_indices, 2] > 1.0
+        contact_filt = contact | state.last_contacts
+        first_contact = (state.feet_air_time > 0.0) * contact_filt
+        feet_air_time = state.feet_air_time + self.dt
+        ctx.first_contact = first_contact
+        ctx.feet_air_time = feet_air_time
+        state = state.replace(
+            last_contacts=contact,
+            feet_air_time=feet_air_time * (~contact_filt),
+        )
+
+        # ---- rewards (legged_robot.py:770-787) ----
+        rew = jnp.zeros(N)
+        term_rews = []
+        for name, scale in zip(self.reward_names, self.reward_scales):
+            r_i = self.reward_fns[name](ctx) * scale
+            rew = rew + r_i
+            term_rews.append(r_i)
+        if cfg.rewards.only_positive_rewards:
+            rew = jnp.clip(rew, 0.0, None)
+        if self.termination_scale != 0.0:
+            r_t = R.termination(ctx) * self.termination_scale
+            rew = rew + r_t
+            term_rews.append(r_t)
+        episode_sums = state.episode_sums + jnp.stack(term_rews, axis=1)
+
+        # ---- fused reset (legged_robot.py:723-768) ----
+        reset_phys, reset_cmds = self._sample_reset(k_reset, N)
+        m = reset_buf
+        mb = m[:, None]
+
+        def sel(new, old):
+            expand = (...,) + (None,) * (old.ndim - 1)
+            return jnp.where(m[expand], new, old)
+
+        phys = eng.PhysicsState(
+            base_pos=sel(reset_phys.base_pos, phys.base_pos),
+            base_quat=sel(reset_phys.base_quat, phys.base_quat),
+            joint_q=sel(reset_phys.joint_q, phys.joint_q),
+            v=sel(reset_phys.v, phys.v),
+        )
+        commands = jnp.where(mb, reset_cmds, commands)
+        # episode logging: per-term sums of reset envs (runner divides by
+        # count and max_episode_length_s, legged_robot.py:758-763)
+        reset_count = jnp.sum(m)
+        ep_sums_at_reset = jnp.sum(
+            jnp.where(mb, episode_sums, 0.0), axis=0
+        )
+        episode_sums = jnp.where(mb, 0.0, episode_sums)
+        actions_post = jnp.where(mb, 0.0, actions)
+        state = state.replace(
+            phys=phys,
+            commands=commands,
+            actions=actions_post,
+            last_actions=jnp.where(mb, 0.0, state.last_actions),
+            last_dof_vel=jnp.where(mb, 0.0, state.last_dof_vel),
+            feet_air_time=jnp.where(mb, 0.0, state.feet_air_time),
+            last_contacts=jnp.where(mb, False, state.last_contacts),
+            episode_length=jnp.where(m, 0, episode_length),
+            episode_sums=episode_sums,
+        )
+
+        # ---- pushes (legged_robot.py:540-555): overwrite world vxy ----
+        if cfg.domain_rand.push_robots:
+            push_mask = (state.episode_length % self.push_interval) == 0
+            max_vel = cfg.domain_rand.max_push_vel_xy
+            push_vxy = jax.random.uniform(
+                k_push, (N, 2), minval=-max_vel, maxval=max_vel
+            )
+            R0 = tm.quat_to_rotmat(state.phys.base_quat)       # [N,3,3]
+            v_lin_w = jnp.einsum("nij,nj->ni", R0, state.phys.v[:, 3:6])
+            v_lin_w = jnp.where(push_mask[:, None], push_vxy, v_lin_w[:, :2])
+            v_lin_w = jnp.concatenate(
+                (v_lin_w, jnp.einsum("nij,nj->ni", R0, state.phys.v[:, 3:6])[:, 2:]),
+                axis=1,
+            )
+            v_lin_b = jnp.einsum("nji,nj->ni", R0, v_lin_w)
+            v = state.phys.v.at[:, 3:6].set(v_lin_b)
+            state = state.replace(phys=state.phys.replace(v=v))
+
+        # ---- observations (legged_robot.py:789-811) ----
+        obs_ctx = self._obs_ctx(state, ctx)
+        obs, priv_obs = self._build_obs(obs_ctx)
+        if cfg.noise.add_noise:
+            noise = (
+                2.0 * jax.random.uniform(k_noise, obs.shape) - 1.0
+            ) * self.noise_scale_vec
+            obs = obs + noise
+        clip_o = cfg.normalization.clip_observations
+        obs = jnp.clip(obs, -clip_o, clip_o)
+        if priv_obs is not None:
+            priv_obs = jnp.clip(priv_obs, -clip_o, clip_o)
+
+        # ---- cache last_* (legged_robot.py:707-709) ----
+        state = state.replace(
+            last_actions=state.actions,
+            last_dof_vel=state.phys.v[:, 6:],
+            obs=obs,
+            priv_obs=priv_obs,
+        )
+
+        extras = {
+            "episode_sums_at_reset": ep_sums_at_reset,
+            "episode_reset_count": reset_count,
+        }
+        if cfg.env.send_timeouts:
+            extras["time_outs"] = time_out_buf
+        return state, obs, priv_obs, rew, reset_buf, extras
+
+    def _obs_ctx(self, state: EnvState, ctx):
+        """Rebuild the observation context from the post-reset/post-push
+        state (the reference recomputes obs from refreshed tensors; resets
+        change dof/root state before compute_observations)."""
+        phys = state.phys
+        N = self.num_envs
+        new = types.SimpleNamespace(**vars(ctx))
+        new.base_pos = phys.base_pos
+        new.base_quat = phys.base_quat
+        new.base_ang_vel = phys.v[:, 0:3]
+        new.base_lin_vel = phys.v[:, 3:6]
+        new.projected_gravity = jax.vmap(tm.quat_rotate_inverse)(
+            phys.base_quat,
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, -1.0]), (N, 3)),
+        )
+        new.dof_pos = phys.joint_q
+        new.dof_vel = phys.v[:, 6:]
+        new.actions = state.actions
+        new.commands = state.commands
+        new.episode_length = state.episode_length
+        return new
