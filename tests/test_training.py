@@ -1,0 +1,114 @@
+"""End-to-end training smoke tests + export cross-validation.
+
+Covers the rsl_rl-contract surface (SURVEY.md §1.3): runner construction
+via the registry, learn() for a few iterations on Go2 (MLP) and G1 (LSTM),
+checkpoint save/load round-trip, and TorchScript export that numerically
+matches the JAX actor."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitree_rl_gym_tpu.envs.registry import task_registry
+from unitree_rl_gym_tpu.rl.runner import OnPolicyRunner
+
+
+def tiny_args(task, num_envs=8, iters=2):
+    from unitree_rl_gym_tpu.utils.helpers import get_args
+
+    return get_args([
+        f"--task={task}", f"--num_envs={num_envs}",
+        f"--max_iterations={iters}", "--headless",
+    ])
+
+
+@pytest.fixture(scope="module")
+def go2_setup(tmp_path_factory):
+    args = tiny_args("go2")
+    env, env_cfg = task_registry.make_env(name="go2", args=args)
+    log_dir = str(tmp_path_factory.mktemp("go2_logs"))
+    _, train_cfg = task_registry.get_cfgs("go2")
+    train_cfg.runner.num_steps_per_env = 8
+    runner = OnPolicyRunner(env, train_cfg, log_dir)
+    return env, runner, log_dir
+
+
+def test_go2_learn_two_iterations(go2_setup):
+    env, runner, log_dir = go2_setup
+    runner.learn(2, init_at_random_ep_len=True)
+    assert runner.current_learning_iteration == 2
+    # final checkpoint written
+    files = os.listdir(log_dir)
+    assert any(f.startswith("model_") and f.endswith(".ckpt") for f in files)
+
+
+def test_checkpoint_roundtrip(go2_setup):
+    env, runner, log_dir = go2_setup
+    path = os.path.join(log_dir, "model_roundtrip.ckpt")
+    runner.save(path)
+    before = jax.tree.map(np.asarray, runner.train_state.params)
+    runner2 = OnPolicyRunner(env, runner.cfg, None)
+    runner2.load(path)
+    after = jax.tree.map(np.asarray, runner2.train_state.params)
+    jax.tree.map(np.testing.assert_array_equal, before, after)
+
+
+def test_inference_policy_and_export(go2_setup, tmp_path):
+    env, runner, _ = go2_setup
+    policy = runner.get_inference_policy()
+    obs = jnp.ones((4, env.num_obs)) * 0.1
+    act = policy(obs)
+    assert act.shape == (4, env.num_actions)
+
+    from unitree_rl_gym_tpu.export.export import export_policy
+    meta = export_policy(runner, str(tmp_path))
+    assert os.path.exists(tmp_path / "policy_flat.npz")
+    assert os.path.exists(tmp_path / "policy_1.pt")
+    # TorchScript output must match the JAX actor numerically
+    import torch
+
+    mod = torch.jit.load(str(tmp_path / "policy_1.pt"))
+    torch_out = mod(torch.from_numpy(np.asarray(obs))).detach().numpy()
+    np.testing.assert_allclose(torch_out, np.asarray(act), atol=1e-5)
+
+
+@pytest.mark.parametrize("task", ["g1"])
+def test_lstm_task_learns_and_exports(task, tmp_path):
+    args = tiny_args(task, num_envs=8, iters=1)
+    env, env_cfg = task_registry.make_env(name=task, args=args)
+    _, train_cfg = task_registry.get_cfgs(task)
+    train_cfg.runner.num_steps_per_env = 8
+    runner = OnPolicyRunner(env, train_cfg, None)
+    assert runner.net.is_recurrent
+    runner.learn(1)
+    # stateful inference policy
+    policy = runner.get_inference_policy()
+    obs = jnp.ones((1, env.num_obs)) * 0.05
+    a1 = np.asarray(policy(obs))
+    a2 = np.asarray(policy(obs))          # carry advanced -> different output
+    assert a1.shape == (1, env.num_actions)
+    assert not np.allclose(a1, a2)
+    policy.reset_memory()
+    a3 = np.asarray(policy(obs))
+    np.testing.assert_allclose(a1, a3, atol=1e-6)
+
+    # LSTM TorchScript export matches the JAX actor step-by-step
+    from unitree_rl_gym_tpu.export.export import export_policy
+    export_policy(runner, str(tmp_path))
+    import torch
+
+    mod = torch.jit.load(str(tmp_path / "policy_lstm_1.pt"))
+    policy.reset_memory()
+    tobs = torch.from_numpy(np.asarray(obs))
+    for i in range(3):
+        t_out = mod(tobs).detach().numpy()
+        j_out = np.asarray(policy(obs))
+        np.testing.assert_allclose(t_out, j_out, atol=1e-4)
+
+
+def test_registry_has_all_five_tasks():
+    for name in ["go2", "h1", "h1_2", "g1", "go2_handstand"]:
+        assert name in task_registry.task_classes

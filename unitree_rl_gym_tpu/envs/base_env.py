@@ -504,6 +504,7 @@ class LeggedEnv:
         ep_sums_at_reset = jnp.sum(
             jnp.where(mb, episode_sums, 0.0), axis=0
         )
+        ep_len_at_reset = jnp.sum(jnp.where(m, episode_length, 0))
         episode_sums = jnp.where(mb, 0.0, episode_sums)
         actions_post = jnp.where(mb, 0.0, actions)
         state = state.replace(
@@ -560,6 +561,7 @@ class LeggedEnv:
         extras = {
             "episode_sums_at_reset": ep_sums_at_reset,
             "episode_reset_count": reset_count,
+            "episode_length_at_reset": ep_len_at_reset,
         }
         if cfg.env.send_timeouts:
             extras["time_outs"] = time_out_buf

@@ -1,0 +1,238 @@
+"""Go2 handstand task (reference: go2_handstand_env.py + config).
+
+Front feet support, hind feet airborne, base inverted. Overrides
+observations (46-dim with contact flags + optional flag bit-flips),
+termination (illegal contact ∪ not-inverted ∪ timeout), the PD target
+computation (rear-leg targets clamped to ±0.15 rad around the handstand
+pose, torques NOT clipped to URDF limits — go2_handstand_env.py:326-350),
+and brings 12 task-specific reward terms."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unitree_rl_gym_tpu.envs import rewards as R
+from unitree_rl_gym_tpu.envs.base_env import EnvState, LeggedEnv
+from unitree_rl_gym_tpu.utils.config import LeggedRobotCfg, TrainCfg
+
+FRONT_JOINTS = ["FL_hip_joint", "FL_thigh_joint", "FL_calf_joint",
+                "FR_hip_joint", "FR_thigh_joint", "FR_calf_joint"]
+REAR_JOINTS = ["RL_hip_joint", "RL_thigh_joint", "RL_calf_joint",
+               "RR_hip_joint", "RR_thigh_joint", "RR_calf_joint"]
+
+# handstand keyframe (go2_handstand_config.py:157-176)
+HANDSTAND_POSE = {
+    "FL_hip_joint": 0.0, "FL_thigh_joint": -0.89, "FL_calf_joint": -1.5,
+    "FR_hip_joint": 0.0, "FR_thigh_joint": -0.89, "FR_calf_joint": -1.5,
+    "RL_hip_joint": 0.0, "RL_thigh_joint": 1.7, "RL_calf_joint": -1.853,
+    "RR_hip_joint": 0.0, "RR_thigh_joint": 1.7, "RR_calf_joint": -1.853,
+}
+
+# footstand keyframe kept for the follow-up task
+# (go2_handstand_config.py:183-198)
+FOOTSTAND_POSE = {
+    "FL_hip_joint": 0.0, "FL_thigh_joint": 0.82, "FL_calf_joint": -1.6,
+    "FR_hip_joint": 0.0, "FR_thigh_joint": 0.82, "FR_calf_joint": -1.68,
+    "RL_hip_joint": 0.0, "RL_thigh_joint": 1.82, "RL_calf_joint": -1.16,
+    "RR_hip_joint": 0.0, "RR_thigh_joint": 1.82, "RR_calf_joint": -1.16,
+}
+
+REAR_LIMIT = 0.15        # ±rad around handstand pose (go2_handstand_env.py:46)
+CONTACT_FLIP_P = 0.01    # sensor-dropout bit-flip prob (go2_handstand_env.py:163)
+
+
+class GO2HandstandEnv(LeggedEnv):
+    def __init__(self, cfg, robot=None):
+        super().__init__(cfg, robot)
+        # torques not clipped in the handstand override
+        self.pd = dataclasses.replace(self.pd, clip_torque=False)
+        didx = {n: i for i, n in enumerate(self.robot.dof_names)}
+        self.front_dof_idx = jnp.asarray([didx[n] for n in FRONT_JOINTS])
+        self.rear_dof_idx = jnp.asarray([didx[n] for n in REAR_JOINTS])
+        self.front_hip_idx = jnp.asarray(
+            [didx["FL_hip_joint"], didx["FR_hip_joint"]]
+        )
+        pose = np.asarray(self.default_dof_pos).copy()
+        for n, a in cfg.handstand_pose_joint_angles.items():
+            pose[didx[n]] = a
+        self.pose_targets = jnp.asarray(pose, jnp.float32)
+        self.rear_center = self.pose_targets[self.rear_dof_idx]
+        # feet split: feet_indices order is FL, FR, RL, RR (traversal order)
+        self.front_feet_indices = self.feet_indices[jnp.asarray([0, 1])]
+        self.hind_feet_indices = self.feet_indices[jnp.asarray([2, 3])]
+
+    def _reward_registry(self):
+        return R.HANDSTAND_REWARDS
+
+    def _compute_target(self, actions):
+        """Rear-leg targets clamped near the handstand pose
+        (go2_handstand_env.py:326-350)."""
+        targets = (
+            self.default_dof_pos + self.cfg.control.action_scale * actions
+        )
+        lo = self.rear_center - REAR_LIMIT
+        hi = self.rear_center + REAR_LIMIT
+        rear = jnp.clip(targets[:, self.rear_dof_idx], lo, hi)
+        return targets.at[:, self.rear_dof_idx].set(rear)
+
+    def _extra_ctx(self, ctx, state: EnvState):
+        ctx.pose_targets = self.pose_targets
+        ctx.front_dof_idx = self.front_dof_idx
+        ctx.rear_dof_idx = self.rear_dof_idx
+        ctx.front_hip_idx = self.front_hip_idx
+        ctx.front_feet_indices = self.front_feet_indices
+        ctx.hind_feet_indices = self.hind_feet_indices
+        return ctx
+
+    def _check_termination(self, ctx):
+        """illegal contact ∪ not-inverted ∪ timeout
+        (go2_handstand_env.py:178-219)."""
+        cf = ctx.contact_forces[:, self.termination_contact_indices, :]
+        illegal = jnp.any(jnp.linalg.norm(cf, axis=-1) > 1.0, axis=1)
+        cos_up = ctx.projected_gravity[:, 2]
+        fallen = (cos_up > -0.2) & (cos_up < 0.2)
+        time_out = ctx.episode_length > self.max_episode_length
+        return illegal | fallen | time_out, time_out
+
+    def _noise_scale_vec(self) -> np.ndarray:
+        """46-dim layout: gyro, gravity, q, qd, actions, contact flags
+        (go2_handstand_env.py:386-423). Flags get bit-flip noise instead of
+        additive noise (handled in _build_obs)."""
+        cfg = self.cfg
+        na = self.num_actions
+        ns = cfg.noise.noise_scales
+        osc = cfg.normalization.obs_scales
+        lvl = cfg.noise.noise_level
+        vec = np.zeros(self.num_obs, np.float32)
+        i = 0
+        vec[i:i + 3] = lvl * ns["gyro"] * osc["ang_vel"]; i += 3
+        vec[i:i + 3] = lvl * ns["gravity"]; i += 3
+        vec[i:i + na] = lvl * ns["dof_pos"] * osc["dof_pos"]; i += na
+        vec[i:i + na] = lvl * ns["dof_vel"] * osc["dof_vel"]; i += na
+        # actions (no noise) + 4 contact flags (bit-flip handled separately)
+        return vec
+
+    def _build_obs(self, ctx):
+        """46-dim obs (go2_handstand_env.py:140-173); priv = clone."""
+        osc = self.cfg.normalization.obs_scales
+        front = (
+            ctx.contact_forces[:, self.front_feet_indices, 2] > 5.0
+        ).astype(jnp.float32)
+        hind = (
+            ctx.contact_forces[:, self.hind_feet_indices, 2] > 5.0
+        ).astype(jnp.float32)
+        obs = jnp.concatenate(
+            (
+                ctx.base_ang_vel * osc["ang_vel"],
+                ctx.projected_gravity,
+                (ctx.dof_pos - self.default_dof_pos) * osc["dof_pos"],
+                ctx.dof_vel * osc["dof_vel"],
+                ctx.actions,
+                front,
+                hind,
+            ),
+            axis=-1,
+        )
+        return obs, obs
+
+    def step(self, state, actions):
+        """Adds the contact-flag bit-flip after the base pipeline's noise
+        (go2_handstand_env.py:160-169): each of the last 4 dims flips with
+        p=0.01 when noise is on."""
+        state, obs, priv, rew, reset, extras = super().step(state, actions)
+        if self.cfg.noise.add_noise and CONTACT_FLIP_P > 0:
+            key, k = jax.random.split(state.key)
+            flips = jax.random.uniform(k, (self.num_envs, 4)) < CONTACT_FLIP_P
+            flags = obs[:, -4:] > 0.5
+            obs = obs.at[:, -4:].set(
+                jnp.logical_xor(flags, flips).astype(obs.dtype)
+            )
+            state = state.replace(key=key, obs=obs)
+        return state, obs, priv, rew, reset, extras
+
+
+def go2_handstand_cfg() -> LeggedRobotCfg:
+    cfg = LeggedRobotCfg()
+    # env (go2_handstand_config.py:6-11)
+    cfg.env.num_observations = 46
+    cfg.env.num_privileged_obs = 46
+    cfg.env.num_actions = 12
+    # init_state (go2_handstand_config.py:13-31)
+    cfg.init_state.pos = [0.0, 0.0, 0.28]
+    cfg.init_state.default_joint_angles = {
+        "FL_hip_joint": 0.3, "FR_hip_joint": -0.3,
+        "FL_thigh_joint": 1.2, "FR_thigh_joint": 1.2,
+        "FL_calf_joint": -2.0, "FR_calf_joint": -2.0,
+        "RL_hip_joint": 0.1, "RR_hip_joint": -0.1,
+        "RL_thigh_joint": 0.3, "RR_thigh_joint": 0.3,
+        "RL_calf_joint": -1.4, "RR_calf_joint": -1.4,
+    }
+    # control (go2_handstand_config.py:33-38)
+    cfg.control.control_type = "P"
+    cfg.control.stiffness = {"joint": 35.0}
+    cfg.control.damping = {"joint": 0.5}
+    cfg.control.action_scale = 0.3
+    cfg.control.decimation = 5
+    # asset (go2_handstand_config.py:40-46)
+    cfg.asset.file = "resources/robots/go2/urdf/go2.urdf"
+    cfg.asset.name = "go2"
+    cfg.asset.foot_name = "foot"
+    cfg.asset.penalize_contacts_on = ["thigh", "calf", "hip"]
+    cfg.asset.terminate_after_contacts_on = [
+        "base", "thigh", "calf", "hip", "Head_lower", "Head_upper",
+    ]
+    cfg.asset.self_collisions = 1
+    # noise (go2_handstand_config.py:48-58)
+    cfg.noise.add_noise = True
+    cfg.noise.noise_level = 1.0
+    cfg.noise.noise_scales.update(
+        gyro=0.2, gravity=0.05, dof_pos=0.01, dof_vel=1.5,
+        lin_vel=0.1, actions=0.0,
+    )
+    # rewards (go2_handstand_config.py:60-133)
+    cfg.rewards.only_positive_rewards = False
+    cfg.rewards.base_height_target = 0.65
+    cfg.rewards.soft_dof_pos_limit = 0.9
+    cfg.rewards.scales = dict(
+        orientation=5.0,
+        base_height=2.0,
+        front_feet_contact=3.0,
+        hind_feet_no_contact=3.0,
+        pose=10.0,
+        stability=1.0,
+        stay_still=2.0,
+        lin_vel_xy=-3.0,
+        lin_vel_z=-0.001,
+        ang_vel_xy=-0.005,
+        torques=-2e-4,
+        dof_vel=-1e-5,
+        dof_acc=0.0,
+        action_rate=-0.006,
+        dof_pos_limits=-1.0,
+        dof_vel_limits=0.0,
+        torque_limits=0.0,
+        collision=-2.0,
+        front_hip_neutral=2.0,
+        front_feet_together=1.5,
+        feet_contact_forces=0.0,
+        termination=-5.0,
+        tracking_lin_vel=0.0,
+        tracking_ang_vel=0.0,
+        feet_air_time=0.0,
+        stumble=0.0,
+        energy=0.0,
+    )
+    cfg.handstand_pose_joint_angles = dict(HANDSTAND_POSE)
+    cfg.footstand_pose_joint_angles = dict(FOOTSTAND_POSE)
+    return cfg
+
+
+def go2_handstand_train_cfg() -> TrainCfg:
+    t = TrainCfg()
+    t.algorithm.entropy_coef = 0.01
+    t.runner.experiment_name = "go2_handstand"
+    return t

@@ -55,20 +55,27 @@ class ActorCritic(nn.Module):
     activation: str = "elu"
     init_noise_std: float = 1.0
 
-    @nn.compact
-    def __call__(self, obs, critic_obs=None, carry=None):
-        critic_obs = obs if critic_obs is None else critic_obs
-        mu = MLP(self.actor_hidden_dims, self.num_actions,
-                 self.activation, name="actor")(obs)
-        value = MLP(self.critic_hidden_dims, 1,
-                    self.activation, name="critic")(critic_obs)[..., 0]
-        log_std = self.param(
+    def setup(self):
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions,
+                         self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
                                  math.log(self.init_noise_std)),
         )
-        std = jnp.exp(log_std) * jnp.ones_like(mu)
+
+    def __call__(self, obs, critic_obs=None, carry=None):
+        critic_obs = obs if critic_obs is None else critic_obs
+        mu = self.actor(obs)
+        value = self.critic(critic_obs)[..., 0]
+        std = jnp.exp(self.log_std) * jnp.ones_like(mu)
         return mu, std, value, carry
+
+    def act(self, obs, carry=None):
+        """Actor-only forward (deterministic inference / export path —
+        reference helpers.py:156-160 exports just the actor)."""
+        return self.actor(obs), carry
 
     @property
     def is_recurrent(self):
@@ -107,27 +114,34 @@ class ActorCriticRecurrent(nn.Module):
     rnn_hidden_size: int = 64
     rnn_num_layers: int = 1
 
-    @nn.compact
-    def __call__(self, obs, critic_obs=None, carry=None):
-        critic_obs = obs if critic_obs is None else critic_obs
-        carry_a, carry_c = carry
-        enc_a = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers,
-                            name="memory_a")
-        enc_c = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers,
-                            name="memory_c")
-        ha, carry_a = enc_a(obs, carry_a)
-        hc, carry_c = enc_c(critic_obs, carry_c)
-        mu = MLP(self.actor_hidden_dims, self.num_actions,
-                 self.activation, name="actor")(ha)
-        value = MLP(self.critic_hidden_dims, 1,
-                    self.activation, name="critic")(hc)[..., 0]
-        log_std = self.param(
+    def setup(self):
+        self.memory_a = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers)
+        self.memory_c = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers)
+        self.actor = MLP(self.actor_hidden_dims, self.num_actions,
+                         self.activation)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+        self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
                                  math.log(self.init_noise_std)),
         )
-        std = jnp.exp(log_std) * jnp.ones_like(mu)
+
+    def __call__(self, obs, critic_obs=None, carry=None):
+        critic_obs = obs if critic_obs is None else critic_obs
+        carry_a, carry_c = carry
+        ha, carry_a = self.memory_a(obs, carry_a)
+        hc, carry_c = self.memory_c(critic_obs, carry_c)
+        mu = self.actor(ha)
+        value = self.critic(hc)[..., 0]
+        std = jnp.exp(self.log_std) * jnp.ones_like(mu)
         return mu, std, value, (carry_a, carry_c)
+
+    def act(self, obs, carry):
+        """Actor-only forward: runs memory_a + actor head, leaves the
+        critic branch untouched (export contract, helpers.py:163-182)."""
+        carry_a, carry_c = carry
+        ha, carry_a = self.memory_a(obs, carry_a)
+        return self.actor(ha), (carry_a, carry_c)
 
     @property
     def is_recurrent(self):

@@ -1,0 +1,67 @@
+"""Device-mesh sharding for env-batch data parallelism.
+
+The reference's only parallelism is the 4096-env batch on one GPU
+(SURVEY.md §2.3); its ``--horovod`` flag is dead. Here the env axis is a
+first-class sharded dimension: a 1-D ``("env",)`` mesh over all chips
+(single host: the 4 chips of a v5e-4; multi-host: the full pod slice via
+``jax.distributed``). Env state lives sharded on that axis, params are
+replicated, and the learner's minibatch statistics/gradients become
+XLA-inserted collectives (psum over ICI) — nothing in the algorithm code
+changes, which is the point of SPMD.
+
+The networks are tiny MLP/LSTMs (legged_robot_config.py:249-251), so
+TP/PP/SP would only add collective latency; env-batch DP is the axis that
+matters at this scale (SURVEY.md §2.3), and the design leaves the batch
+dimension free to reshard if bigger models ever appear.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("env",))
+
+
+def env_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (env) axis sharded across the mesh."""
+    return NamedSharding(mesh, P("env"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_env_state(tree, mesh: Mesh):
+    """Place a batched pytree (leading axis = env) onto the mesh, sharded
+    along the env axis; scalars/keys are replicated."""
+    es = env_sharding(mesh)
+    rep = replicated(mesh)
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] >= mesh.size:
+            return jax.device_put(x, es)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
+
+
+def distributed_initialize_if_needed():
+    """Multi-host entry (SURVEY.md §5.8): initialize jax.distributed from
+    standard cluster env vars when launched on more than one process."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()

@@ -1,0 +1,359 @@
+"""PPO — TPU-native reimplementation of the rsl_rl v1.0.2 contract.
+
+The reference trains with the external ``rsl_rl`` library pinned to v1.0.2
+(SURVEY.md §1.3; doc/setup_en.md:99-106). This module reproduces its
+*semantics* in functional JAX:
+
+  * on-policy rollout of ``num_steps_per_env`` across all envs — here a
+    ``lax.scan`` whose stacked outputs ARE the rollout storage (no separate
+    storage object; everything stays on device)
+  * time-out bootstrapping: ``rew += gamma * value * time_out`` using the
+    env's ``extras["time_outs"]`` (legged_robot.py:766-768)
+  * GAE(gamma=0.99, lam=0.95) with whole-batch advantage normalization
+  * clipped surrogate + clipped value loss + entropy bonus
+  * adaptive learning rate driven toward ``desired_kl`` per minibatch,
+    multiplicative 1.5 steps clamped to [1e-5, 1e-2]
+  * grad-norm clipping (max_grad_norm)
+  * LSTM policies: hidden state reset on done during rollout; update
+    replays the window from the stored initial carry with done-masked
+    truncation (the rsl_rl trajectory-split equivalent)
+
+The whole train iteration (rollout + GAE + epochs x minibatches) is ONE
+jitted function; under pjit the env axis is sharded and gradients are
+reduced by XLA-inserted collectives (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from unitree_rl_gym_tpu.models import networks as nets
+from unitree_rl_gym_tpu.utils.config import AlgorithmCfg
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    lr: jax.Array          # scalar, adaptive
+    key: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    critic_obs: jax.Array
+    actions: jax.Array
+    rewards: jax.Array       # already time-out-bootstrapped
+    dones: jax.Array
+    values: jax.Array
+    log_probs: jax.Array
+    mu: jax.Array
+    std: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class PPO:
+    """Algorithm bundle: static config + pure functions."""
+
+    net: Any                      # flax module (ActorCritic[Recurrent])
+    cfg: AlgorithmCfg
+    num_steps: int                # num_steps_per_env (24)
+    num_envs: int
+
+    # ------------------------------------------------------------------
+
+    def make_optimizer(self):
+        # lr is applied manually in the update (adaptive-KL schedule mutates
+        # it between minibatches), so the chain stops at the adam direction.
+        return optax.chain(
+            optax.clip_by_global_norm(self.cfg.max_grad_norm),
+            optax.scale_by_adam(),
+        )
+
+    def init(self, key, obs_dim, critic_obs_dim):
+        k1, k2 = jax.random.split(key)
+        carry = self.net.initial_carry(self.num_envs)
+        params = self.net.init(
+            k1, jnp.zeros((self.num_envs, obs_dim)),
+            jnp.zeros((self.num_envs, critic_obs_dim)),
+            carry,
+        )
+        opt_state = self.make_optimizer().init(params)
+        return TrainState(
+            params=params,
+            opt_state=opt_state,
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
+            key=k2,
+        )
+
+    # ------------------------------------------------------------------
+    # rollout
+    # ------------------------------------------------------------------
+
+    def rollout(self, ts: TrainState, env, env_state, obs, critic_obs, carry):
+        """Collect ``num_steps`` transitions. Returns
+        (env_state, obs, critic_obs, carry, transitions [T,...], carry_start,
+         ep_stats)."""
+        gamma = self.cfg.gamma
+        carry_start = carry
+
+        def step_fn(c, key):
+            env_state, obs, critic_obs, carry = c
+            mu, std, value, new_carry = self.net.apply(
+                ts.params, obs, critic_obs, carry
+            )
+            eps = jax.random.normal(key, mu.shape)
+            actions = mu + std * eps
+            logp = nets.log_prob(mu, std, actions)
+            env_state, next_obs, next_priv, rew, done, extras = env.step(
+                env_state, actions
+            )
+            next_critic = next_priv if next_priv is not None else next_obs
+            # time-out bootstrap (rsl_rl process_env_step)
+            rew_b = rew + gamma * value * extras["time_outs"].astype(rew.dtype)
+            new_carry = nets.reset_carry(new_carry, done)
+            t = Transition(
+                obs=obs, critic_obs=critic_obs, actions=actions,
+                rewards=rew_b, dones=done, values=value, log_probs=logp,
+                mu=mu, std=std,
+            )
+            ep = (
+                extras["episode_sums_at_reset"],
+                extras["episode_reset_count"],
+                extras["episode_length_at_reset"],
+                rew,
+            )
+            return (env_state, next_obs, next_critic, new_carry), (t, ep)
+
+        keys = jax.random.split(ts.key, self.num_steps)
+        (env_state, obs, critic_obs, carry), (transitions, ep) = jax.lax.scan(
+            step_fn, (env_state, obs, critic_obs, carry), keys
+        )
+        ep_stats = {
+            "episode_sums": jnp.sum(ep[0], axis=0),
+            "reset_count": jnp.sum(ep[1]),
+            "episode_length_sum": jnp.sum(ep[2]),
+            "mean_step_reward": jnp.mean(ep[3]),
+        }
+        return env_state, obs, critic_obs, carry, transitions, carry_start, ep_stats
+
+    # ------------------------------------------------------------------
+    # GAE
+    # ------------------------------------------------------------------
+
+    def compute_gae(self, transitions: Transition, last_value):
+        gamma, lam = self.cfg.gamma, self.cfg.lam
+
+        # scan backward carrying (adv, next_value)
+        def back2(carry, t):
+            adv_next, v_next = carry
+            value, rew, done = t
+            nonterm = 1.0 - done.astype(value.dtype)
+            delta = rew + gamma * v_next * nonterm - value
+            adv = delta + gamma * lam * nonterm * adv_next
+            return (adv, value), adv
+
+        (_, _), advantages = jax.lax.scan(
+            back2,
+            (jnp.zeros_like(last_value), last_value),
+            (transitions.values, transitions.rewards, transitions.dones),
+            reverse=True,
+        )
+        returns = advantages + transitions.values
+        # whole-batch advantage normalization (rsl_rl compute_returns)
+        adv_n = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        return adv_n, returns
+
+    # ------------------------------------------------------------------
+    # update
+    # ------------------------------------------------------------------
+
+    def _loss(self, params, batch, lr_unused, carry0=None, dones=None):
+        """PPO loss on a minibatch. For recurrent nets the batch is
+        [T, B, ...] and the LSTM is replayed from carry0 with done masking;
+        for MLPs the batch is flat [B, ...]."""
+        cfg = self.cfg
+        if self.net.is_recurrent:
+            T = batch.obs.shape[0]
+
+            def replay(carry, t):
+                mu, std, value, new_carry = self.net.apply(
+                    params, batch.obs[t], batch.critic_obs[t], carry
+                )
+                new_carry = nets.reset_carry(new_carry, dones[t])
+                return new_carry, (mu, std, value)
+
+            _, (mu, std, value) = jax.lax.scan(
+                replay, carry0, jnp.arange(T)
+            )
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+            mu, std, value = flat(mu), flat(std), flat(value)
+            b = jax.tree.map(flat, batch)
+        else:
+            b = batch
+            mu, std, value, _ = self.net.apply(
+                params, b.obs, b.critic_obs, self.net.initial_carry(b.obs.shape[0])
+            )
+
+        logp = nets.log_prob(mu, std, b.actions)
+        ratio = jnp.exp(logp - b.log_probs)
+        surr = -b.advantages * ratio
+        surr_clipped = -b.advantages * jnp.clip(
+            ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param
+        )
+        surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+
+        if cfg.use_clipped_value_loss:
+            v_clipped = b.values + jnp.clip(
+                value - b.values, -cfg.clip_param, cfg.clip_param
+            )
+            value_loss = jnp.mean(
+                jnp.maximum(
+                    jnp.square(value - b.returns),
+                    jnp.square(v_clipped - b.returns),
+                )
+            )
+        else:
+            value_loss = jnp.mean(jnp.square(value - b.returns))
+
+        ent = jnp.mean(nets.entropy(std))
+        loss = (
+            surrogate_loss
+            + cfg.value_loss_coef * value_loss
+            - cfg.entropy_coef * ent
+        )
+        kl = jnp.mean(nets.kl_divergence(b.mu, b.std, mu, std))
+        return loss, (surrogate_loss, value_loss, kl)
+
+    def _adapt_lr(self, lr, kl):
+        """rsl_rl adaptive schedule: x1.5 toward desired_kl, clamped."""
+        cfg = self.cfg
+        if cfg.schedule != "adaptive" or cfg.desired_kl is None:
+            return lr
+        lr = jnp.where(
+            kl > cfg.desired_kl * 2.0, jnp.maximum(lr / 1.5, 1e-5), lr
+        )
+        lr = jnp.where(
+            (kl < cfg.desired_kl / 2.0) & (kl > 0.0),
+            jnp.minimum(lr * 1.5, 1e-2),
+            lr,
+        )
+        return lr
+
+    def update(self, ts: TrainState, transitions: Transition, advantages,
+               returns, carry_start, key):
+        """num_learning_epochs x num_mini_batches PPO steps."""
+        cfg = self.cfg
+        T, N = self.num_steps, self.num_envs
+        opt = self.make_optimizer()
+
+        class Batch(NamedTuple):
+            obs: jax.Array
+            critic_obs: jax.Array
+            actions: jax.Array
+            log_probs: jax.Array
+            values: jax.Array
+            advantages: jax.Array
+            returns: jax.Array
+            mu: jax.Array
+            std: jax.Array
+
+        full = Batch(
+            obs=transitions.obs, critic_obs=transitions.critic_obs,
+            actions=transitions.actions, log_probs=transitions.log_probs,
+            values=transitions.values, advantages=advantages,
+            returns=returns, mu=transitions.mu, std=transitions.std,
+        )
+
+        if self.net.is_recurrent:
+            nmb = cfg.num_mini_batches
+            mb_envs = N // nmb
+
+            def mb_step(carry, idx):
+                params, opt_state, lr, stats = carry
+                batch = jax.tree.map(lambda x: x[:, idx], full)
+                carry0 = jax.tree.map(lambda h: h[idx], carry_start)
+                dones = transitions.dones[:, idx]
+                (loss, (sl, vl, kl)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch, lr, carry0, dones)
+                lr = self._adapt_lr(lr, kl)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
+                return (params, opt_state, lr, stats), None
+
+            def epoch_step(carry, k):
+                perm = jax.random.permutation(k, N).reshape(nmb, mb_envs)
+                carry, _ = jax.lax.scan(mb_step, carry, perm)
+                return carry, None
+
+        else:
+            flat = jax.tree.map(
+                lambda x: x.reshape((T * N,) + x.shape[2:]), full
+            )
+            nmb = cfg.num_mini_batches
+            mb_size = (T * N) // nmb
+
+            def mb_step(carry, idx):
+                params, opt_state, lr, stats = carry
+                batch = jax.tree.map(lambda x: x[idx], flat)
+                (loss, (sl, vl, kl)), grads = jax.value_and_grad(
+                    self._loss, has_aux=True
+                )(params, batch, lr)
+                lr = self._adapt_lr(lr, kl)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
+                return (params, opt_state, lr, stats), None
+
+            def epoch_step(carry, k):
+                perm = jax.random.permutation(k, T * N).reshape(nmb, mb_size)
+                carry, _ = jax.lax.scan(mb_step, carry, perm)
+                return carry, None
+
+        zero = jnp.zeros(())
+        init = (ts.params, ts.opt_state, ts.lr, (zero, zero, zero))
+        keys = jax.random.split(key, cfg.num_learning_epochs)
+        (params, opt_state, lr, stats), _ = jax.lax.scan(
+            epoch_step, init, keys
+        )
+        n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
+        metrics = {
+            "surrogate_loss": stats[0] / n_updates,
+            "value_loss": stats[1] / n_updates,
+            "kl": stats[2] / n_updates,
+            "lr": lr,
+        }
+        return ts.replace(params=params, opt_state=opt_state, lr=lr), metrics
+
+    # ------------------------------------------------------------------
+    # one full training iteration (jit this)
+    # ------------------------------------------------------------------
+
+    def train_iteration(self, env, ts: TrainState, env_state, obs,
+                        critic_obs, carry):
+        key_next, k_update = jax.random.split(
+            jax.random.fold_in(ts.key, 1), 2
+        )
+        env_state, obs, critic_obs, carry, transitions, carry_start, ep = (
+            self.rollout(ts, env, env_state, obs, critic_obs, carry)
+        )
+        _, _, last_value, _ = self.net.apply(
+            ts.params, obs, critic_obs, carry
+        )
+        advantages, returns = self.compute_gae(transitions, last_value)
+        ts, metrics = self.update(
+            ts, transitions, advantages, returns, carry_start, k_update
+        )
+        ts = ts.replace(key=key_next)
+        metrics.update(ep)
+        return ts, env_state, obs, critic_obs, carry, metrics

@@ -1,0 +1,212 @@
+"""OnPolicyRunner — training driver (rsl_rl v1.0.2 runner contract).
+
+Reproduces the runner surface the reference exercises
+(task_registry.py:119, train.py:14, play.py:32-34, helpers.py:151-168):
+
+    runner = OnPolicyRunner(env, train_cfg, log_dir)
+    runner.learn(num_learning_iterations, init_at_random_ep_len=True)
+    runner.save(path) / runner.load(path)
+    policy = runner.get_inference_policy()
+
+The whole train iteration (24-step rollout + GAE + 5x4 PPO minibatch
+updates) is ONE jitted function; the host only reads back scalar metrics
+for TensorBoard, so the device never idles on Python. Checkpoints are
+msgpack pytrees named ``model_<iteration>.ckpt`` every ``save_interval``
+iterations (legged_robot_config.py:279-281 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from unitree_rl_gym_tpu.models import networks as nets
+from unitree_rl_gym_tpu.rl.ppo import PPO, TrainState
+from unitree_rl_gym_tpu.utils.config import TrainCfg, class_to_dict
+
+
+class OnPolicyRunner:
+    def __init__(self, env, train_cfg: TrainCfg, log_dir: Optional[str] = None,
+                 device=None):
+        self.env = env
+        self.cfg = train_cfg
+        self.log_dir = log_dir
+        self.current_learning_iteration = 0
+
+        policy_cfg = train_cfg.policy
+        policy_cfg._class_name = train_cfg.runner.policy_class_name
+        self.net = nets.build_network(policy_cfg, env.num_actions)
+        self.alg = PPO(
+            net=self.net,
+            cfg=train_cfg.algorithm,
+            num_steps=train_cfg.runner.num_steps_per_env,
+            num_envs=env.num_envs,
+        )
+        critic_obs_dim = env.num_privileged_obs or env.num_obs
+        key = jax.random.PRNGKey(train_cfg.seed)
+        self.train_state = self.alg.init(key, env.num_obs, critic_obs_dim)
+
+        self._iter_fn = jax.jit(
+            lambda ts, es, obs, cobs, carry: self.alg.train_iteration(
+                self.env, ts, es, obs, cobs, carry
+            )
+        )
+        self._env_state = None
+        self._obs = None
+        self._critic_obs = None
+        self._carry = None
+        self._writer = None
+
+    # ------------------------------------------------------------------
+
+    def _ensure_env(self, init_at_random_ep_len=False, key=None):
+        if self._env_state is None:
+            key = key or jax.random.PRNGKey(self.cfg.seed + 1)
+            state, obs = self.env.reset_all(
+                key, init_at_random_ep_len=init_at_random_ep_len
+            )
+            self._env_state = state
+            self._obs = obs
+            self._critic_obs = (
+                state.priv_obs if state.priv_obs is not None else obs
+            )
+            self._carry = self.net.initial_carry(self.env.num_envs)
+
+    def learn(self, num_learning_iterations: int,
+              init_at_random_ep_len: bool = False):
+        self._ensure_env(init_at_random_ep_len)
+        if self.log_dir and self._writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._writer = SummaryWriter(log_dir=self.log_dir, flush_secs=10)
+            except Exception as e:  # tensorboard optional
+                print(f"[runner] tensorboard writer unavailable: {e}")
+        start = self.current_learning_iteration
+        steps_per_iter = self.env.num_envs * self.cfg.runner.num_steps_per_env
+        for it in range(start, start + num_learning_iterations):
+            t0 = time.time()
+            (self.train_state, self._env_state, self._obs, self._critic_obs,
+             self._carry, metrics) = self._iter_fn(
+                self.train_state, self._env_state, self._obs,
+                self._critic_obs, self._carry,
+            )
+            metrics = jax.device_get(metrics)
+            dt_wall = time.time() - t0
+            fps = steps_per_iter / dt_wall
+            self.current_learning_iteration = it + 1
+            self._log(it, metrics, fps, dt_wall)
+            if self.log_dir and (
+                (it + 1) % self.cfg.runner.save_interval == 0
+            ):
+                self.save(
+                    os.path.join(self.log_dir, f"model_{it + 1}.ckpt")
+                )
+        if self.log_dir:
+            self.save(os.path.join(
+                self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
+            ))
+
+    # ------------------------------------------------------------------
+
+    def _log(self, it, metrics, fps, dt_wall):
+        count = max(float(metrics["reset_count"]), 1.0)
+        ep_rews = {
+            name: float(s) / count / self.env.max_episode_length_s
+            for name, s in zip(
+                self.env.episode_term_names, metrics["episode_sums"]
+            )
+        }
+        mean_ep_len = float(metrics["episode_length_sum"]) / count
+        msg = (
+            f"it {it:5d} | {fps:9.0f} steps/s | rew {float(metrics['mean_step_reward']):.4f} | "
+            f"ep_len {mean_ep_len:7.1f} | vloss {float(metrics['value_loss']):.4f} | "
+            f"kl {float(metrics['kl']):.4f} | lr {float(metrics['lr']):.2e}"
+        )
+        print(msg, flush=True)
+        if self._writer is not None:
+            w = self._writer
+            for name, v in ep_rews.items():
+                w.add_scalar(f"Episode/rew_{name}", v, it)
+            w.add_scalar("Loss/value_function", float(metrics["value_loss"]), it)
+            w.add_scalar("Loss/surrogate", float(metrics["surrogate_loss"]), it)
+            w.add_scalar("Loss/learning_rate", float(metrics["lr"]), it)
+            w.add_scalar("Perf/total_fps", fps, it)
+            w.add_scalar("Train/mean_reward", float(metrics["mean_step_reward"]), it)
+            w.add_scalar("Train/mean_episode_length", mean_ep_len, it)
+
+    # ------------------------------------------------------------------
+    # checkpointing (msgpack pytree; §5.4 semantics)
+    # ------------------------------------------------------------------
+
+    def save(self, path: str):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "params": self.train_state.params,
+            "opt_state": self.train_state.opt_state,
+            "lr": self.train_state.lr,
+            "key": self.train_state.key,
+            "iteration": self.current_learning_iteration,
+        }
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(payload))
+        meta = {
+            "iteration": self.current_learning_iteration,
+            "train_cfg": class_to_dict(self.cfg),
+        }
+        with open(path + ".json", "w") as f:
+            json.dump(meta, f, indent=1, default=str)
+
+    def load(self, path: str, load_optimizer: bool = True):
+        with open(path, "rb") as f:
+            raw = f.read()
+        template = {
+            "params": self.train_state.params,
+            "opt_state": self.train_state.opt_state,
+            "lr": self.train_state.lr,
+            "key": self.train_state.key,
+            "iteration": 0,
+        }
+        payload = serialization.from_bytes(template, raw)
+        self.train_state = self.train_state.replace(
+            params=payload["params"],
+            opt_state=(payload["opt_state"] if load_optimizer
+                       else self.train_state.opt_state),
+            lr=jnp.asarray(payload["lr"]),
+        )
+        self.current_learning_iteration = int(payload["iteration"])
+        return payload
+
+    # ------------------------------------------------------------------
+
+    def get_inference_policy(self, device=None):
+        """Deterministic (mean) policy; LSTM carry is held inside the
+        closure like the reference's exported stateful module
+        (helpers.py:163-182)."""
+        params = self.train_state.params
+        net = self.net
+        carry_holder = {"carry": None}
+
+        @jax.jit
+        def _apply(params, obs, carry):
+            return net.apply(params, obs, carry, method=net.act)
+
+        def policy(obs):
+            if carry_holder["carry"] is None:
+                carry_holder["carry"] = net.initial_carry(obs.shape[0])
+            mu, carry_holder["carry"] = _apply(
+                params, obs, carry_holder["carry"]
+            )
+            return mu
+
+        def reset_memory():
+            carry_holder["carry"] = None
+
+        policy.reset_memory = reset_memory
+        return policy
