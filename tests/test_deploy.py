@@ -1,0 +1,195 @@
+"""Deploy layer: sim2sim harness (MuJoCo oracle), real-robot controller
+state machine on the mock transport, rotation/remote/CRC helpers."""
+
+import os
+
+import numpy as np
+import pytest
+
+from unitree_rl_gym_tpu import UNITREE_RL_GYM_TPU_ROOT_DIR
+
+REF_PRETRAIN = "/root/reference/deploy/pre_train"
+
+
+def _cfg_path(name):
+    return os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "unitree_rl_gym_tpu/deploy/deploy_mujoco/configs", name,
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF_PRETRAIN, "g1/motion.pt")),
+    reason="reference pretrained policy not available",
+)
+def test_sim2sim_g1_golden_policy_walks():
+    """The upstream pretrained G1 policy must walk in our MuJoCo harness —
+    validates the obs assembly / PD loop against the reference deploy
+    contract (SURVEY.md §3.4)."""
+    from unitree_rl_gym_tpu.deploy.deploy_mujoco.deploy_mujoco import (
+        load_config, run,
+    )
+
+    cfg = load_config(_cfg_path("g1.yaml"))
+    cfg["policy_path"] = os.path.join(REF_PRETRAIN, "g1/motion.pt")
+    stats = run(cfg, headless=True, max_steps=2500)  # 5 s sim
+    assert not stats["fell"], stats
+    assert stats["distance_x"] > 1.0, stats          # 0.5 m/s command
+    assert stats["mean_height"] > 0.6, stats
+
+
+def test_mujoco_scenes_load():
+    import mujoco
+
+    for robot, nu in [("g1_description", 12), ("h1", 10), ("h1_2", 12)]:
+        m = mujoco.MjModel.from_xml_path(
+            os.path.join(
+                UNITREE_RL_GYM_TPU_ROOT_DIR,
+                f"resources/robots/{robot}/scene.xml",
+            )
+        )
+        assert m.nu == nu
+
+
+def test_rotation_helper_against_scipy():
+    from scipy.spatial.transform import Rotation as R
+
+    from unitree_rl_gym_tpu.deploy.deploy_real.common.rotation_helper import (
+        get_gravity_orientation, transform_imu_data,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)          # wxyz
+        got = get_gravity_orientation(q)
+        rot = R.from_quat([q[1], q[2], q[3], q[0]])   # xyzw
+        want = rot.inv().apply([0, 0, -1])
+        np.testing.assert_allclose(got, -(-want), atol=1e-6)
+
+        yaw = rng.uniform(-1, 1)
+        yaw_omega = rng.uniform(-1, 1)
+        omega = rng.randn(1, 3)
+        q2, w2 = transform_imu_data(yaw, yaw_omega, q, omega)
+        # scipy-based reference computation
+        Rz = R.from_euler("z", yaw).as_matrix()
+        R_torso = R.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        R_pelvis = R_torso @ Rz.T
+        want_q = R.from_matrix(R_pelvis).as_quat()[[3, 0, 1, 2]]
+        sign = np.sign(np.dot(q2, want_q))
+        np.testing.assert_allclose(q2, want_q * sign, atol=1e-6)
+        want_w = Rz @ omega[0] - np.array([0, 0, yaw_omega])
+        np.testing.assert_allclose(w2, want_w, atol=1e-6)
+
+
+def test_remote_controller_roundtrip():
+    from unitree_rl_gym_tpu.deploy.deploy_real.common.remote_controller import (
+        KeyMap, RemoteController,
+    )
+
+    rc = RemoteController()
+    data = RemoteController.pack(
+        buttons=(1 << KeyMap.A) | (1 << KeyMap.start),
+        lx=0.25, rx=-0.5, ry=0.125, ly=0.75,
+    )
+    rc.set(data)
+    assert rc.button[KeyMap.A] == 1
+    assert rc.button[KeyMap.start] == 1
+    assert rc.button[KeyMap.select] == 0
+    assert abs(rc.lx - 0.25) < 1e-6
+    assert abs(rc.ly - 0.75) < 1e-6
+
+
+def test_crc_stability():
+    from unitree_rl_gym_tpu.deploy.deploy_real.common.crc import (
+        crc32_bytes, crc32_words,
+    )
+
+    assert crc32_words([0]) == crc32_words([0])
+    assert crc32_words([1]) != crc32_words([2])
+    assert crc32_bytes(b"\x01\x02\x03\x04") == crc32_words([0x04030201])
+
+
+def _mock_controller(policy=None):
+    from unitree_rl_gym_tpu.deploy.deploy_real.config import Config
+    from unitree_rl_gym_tpu.deploy.deploy_real.deploy_real import Controller
+    from unitree_rl_gym_tpu.deploy.deploy_real.transport import MockTransport
+
+    cfg = Config(os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "unitree_rl_gym_tpu/deploy/deploy_real/configs/g1.yaml",
+    ))
+    transport = MockTransport("hg")
+    policy = policy or (lambda obs: np.zeros(cfg.num_actions))
+    ctrl = Controller(cfg, transport, policy=policy, sleep=lambda dt: None)
+    return ctrl, transport, cfg
+
+
+def test_controller_state_machine_on_mock_transport():
+    from unitree_rl_gym_tpu.deploy.deploy_real.common.remote_controller import (
+        KeyMap,
+    )
+
+    ctrl, transport, cfg = _mock_controller()
+
+    # zero-torque until "start" pressed (scripted after 3 ticks)
+    ticks = {"n": 0}
+    orig_sleep = ctrl.sleep
+
+    def sleep_and_press(dt):
+        ticks["n"] += 1
+        if ticks["n"] >= 3:
+            transport.set_buttons(1 << KeyMap.start)
+
+    ctrl.sleep = sleep_and_press
+    ctrl.zero_torque_state()
+    assert ticks["n"] >= 3
+    zero_cmd = transport.sent[0]
+    assert all(m.kp == 0 and m.kd == 0 for m in zero_cmd.motor_cmd)
+
+    # move to default: 2 s of lerped position targets
+    ctrl.sleep = lambda dt: None
+    n_before = len(transport.sent)
+    ctrl.move_to_default_pos()
+    assert len(transport.sent) - n_before == int(2.0 / cfg.control_dt)
+    last = transport.sent[-1]
+    leg0 = cfg.leg_joint2motor_idx[0]
+    assert abs(last.motor_cmd[leg0].q - cfg.default_angles[0]) < 0.05
+    assert last.motor_cmd[leg0].kp == cfg.kps[0]
+
+    # run tick: builds 47-dim obs, sends PD targets, stamps CRC
+    transport.set_buttons(0)
+    ctrl.run()
+    cmd = transport.sent[-1]
+    assert cmd.crc != 0
+    assert abs(cmd.motor_cmd[leg0].q - cfg.default_angles[0]) < 1e-6
+    # arm/waist holding targets applied
+    aw0 = cfg.arm_waist_joint2motor_idx[0]
+    assert cmd.motor_cmd[aw0].kp == cfg.arm_waist_kps[0]
+
+    # damping exit
+    ctrl.damp()
+    assert all(m.kd == 8 for m in transport.sent[-1].motor_cmd)
+
+
+def test_controller_obs_layout_matches_training():
+    """Remote stick command must land in obs[6:9] scaled by cmd_scale*max_cmd
+    (deploy_real.py:171-196)."""
+    captured = {}
+
+    def spy_policy(obs):
+        captured["obs"] = obs.copy()
+        return np.zeros(12)
+
+    ctrl, transport, cfg = _mock_controller(policy=spy_policy)
+    transport.set_buttons(0, ly=0.5, lx=0.2, rx=-0.4)
+    ctrl.run()
+    obs = captured["obs"]
+    assert obs.shape == (47,)
+    np.testing.assert_allclose(
+        obs[6:9],
+        np.array([0.5, -0.2, 0.4]) * cfg.cmd_scale * cfg.max_cmd,
+        atol=1e-6,
+    )
+    # gravity (upright) ~ [0,0,-1]
+    np.testing.assert_allclose(obs[3:6], [0, 0, -1], atol=1e-6)
