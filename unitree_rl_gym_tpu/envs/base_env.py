@@ -65,6 +65,10 @@ class EnvState(struct.PyTreeNode):
     friction: jax.Array             # [N] DR shape friction
     mass_scale: jax.Array           # [N] DR base-mass factor
     episode_sums: jax.Array         # [N, n_terms]
+    env_origin: jax.Array           # [N, 3] spawn origin (terrain platform)
+    terrain_level: jax.Array        # [N] int32 (curriculum row; 0 on plane)
+    terrain_type: jax.Array         # [N] int32 (terrain column; 0 on plane)
+    cmd_vx_range: jax.Array         # [2] live lin_vel_x range (command curric.)
     obs: jax.Array                  # [N, num_obs]
     priv_obs: Optional[jax.Array]   # [N, num_priv] or None
     key: jax.Array                  # PRNG key
@@ -152,6 +156,20 @@ class LeggedEnv:
         # base init state (pos/rot/lin/ang, legged_robot.py:354-355)
         self.base_init_pos = jnp.asarray(cfg.init_state.pos, jnp.float32)
         self.base_init_quat = jnp.asarray(cfg.init_state.rot, jnp.float32)
+
+        # terrain (heightfield/trimesh -> sampled heightfield; plane -> z=0)
+        self.terrain = None
+        self.ground_fn = None
+        self.terrain_origins = None
+        if cfg.terrain.mesh_type in ("heightfield", "trimesh"):
+            from unitree_rl_gym_tpu.utils.terrain import Terrain
+
+            self.terrain = Terrain(cfg.terrain, self.num_envs, seed=cfg.seed)
+            grid = self.terrain.grid()
+            self.ground_fn = grid.height_at
+            self.terrain_origins = jnp.asarray(
+                self.terrain.env_origins, jnp.float32
+            )
 
         # contact-solver preconditioner at nominal pose
         self.m_eff_n, self.m_eff_t = ct.point_effective_mass(
@@ -252,11 +270,13 @@ class LeggedEnv:
     # reset sampling
     # ------------------------------------------------------------------
 
-    def _sample_reset(self, key, n):
+    def _sample_reset(self, key, n, origins=None, vx_range=None):
         """Fresh physics state + commands for ``n`` envs
-        (legged_robot.py:557-594, 519-538)."""
+        (legged_robot.py:557-594, 519-538). With terrain, spawn at the
+        env's sub-terrain origin with ±1 m xy jitter (legged_robot.py:582-585
+        custom-origins path)."""
         nj = self.robot.num_dof
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         dof_pos = self.default_dof_pos * jax.random.uniform(
             k1, (n, nj), minval=0.5, maxval=1.5
         )
@@ -266,22 +286,32 @@ class LeggedEnv:
         v = jnp.zeros((n, 6 + nj))
         v = v.at[:, 0:3].set(base_vel[:, 3:6])
         v = v.at[:, 3:6].set(base_vel[:, 0:3])
+        base_pos = jnp.broadcast_to(self.base_init_pos, (n, 3))
+        if origins is not None and self.terrain is not None:
+            base_pos = base_pos + origins
+            jitter = jax.random.uniform(k4, (n, 2), minval=-1.0, maxval=1.0)
+            base_pos = base_pos.at[:, :2].add(jitter)
+        elif origins is not None:
+            base_pos = base_pos + origins
         phys = eng.PhysicsState(
-            base_pos=jnp.broadcast_to(self.base_init_pos, (n, 3)),
+            base_pos=base_pos,
             base_quat=jnp.broadcast_to(self.base_init_quat, (n, 4)),
             joint_q=dof_pos,
             v=v,
         )
-        commands = self._sample_commands(k3, n)
+        commands = self._sample_commands(k3, n, vx_range)
         return phys, commands
 
-    def _sample_commands(self, key, n):
+    def _sample_commands(self, key, n, vx_range=None):
         cr = self.cfg.commands.ranges
         kx, ky, kz = jax.random.split(key, 3)
         cmd = jnp.zeros((n, 4))
+        if vx_range is None:
+            vx_lo, vx_hi = cr["lin_vel_x"]
+        else:
+            vx_lo, vx_hi = vx_range[0], vx_range[1]
         cmd = cmd.at[:, 0].set(
-            jax.random.uniform(kx, (n,), minval=cr["lin_vel_x"][0],
-                               maxval=cr["lin_vel_x"][1])
+            vx_lo + (vx_hi - vx_lo) * jax.random.uniform(kx, (n,))
         )
         cmd = cmd.at[:, 1].set(
             jax.random.uniform(ky, (n,), minval=cr["lin_vel_y"][0],
@@ -311,8 +341,36 @@ class LeggedEnv:
         = reset all + one zero-action step (base_task.py:82-86)."""
         N = self.num_envs
         nj = self.robot.num_dof
-        key, k_reset, k_fric, k_bucket, k_mass, k_len = jax.random.split(key, 6)
-        phys, commands = self._sample_reset(k_reset, N)
+        key, k_reset, k_fric, k_bucket, k_mass, k_len, k_lvl = (
+            jax.random.split(key, 7)
+        )
+
+        # terrain level/type assignment (ETH legged_gym _get_env_origins
+        # semantics: start levels <= max_init_terrain_level when curriculum,
+        # types striped across columns)
+        tcfg = self.cfg.terrain
+        if self.terrain is not None:
+            max_lvl = (
+                min(tcfg.max_init_terrain_level + 1, tcfg.num_rows)
+                if tcfg.curriculum else tcfg.num_rows
+            )
+            terrain_level = jax.random.randint(k_lvl, (N,), 0, max_lvl)
+            terrain_type = (jnp.arange(N) * tcfg.num_cols // N).astype(
+                jnp.int32
+            )
+            env_origin = self.terrain_origins[terrain_level, terrain_type]
+        else:
+            terrain_level = jnp.zeros((N,), jnp.int32)
+            terrain_type = jnp.zeros((N,), jnp.int32)
+            env_origin = jnp.zeros((N, 3))
+
+        cmd_vx_range = jnp.asarray(
+            self.cfg.commands.ranges["lin_vel_x"], jnp.float32
+        )
+        vx_range = cmd_vx_range if self.cfg.commands.curriculum else None
+        phys, commands = self._sample_reset(
+            k_reset, N, origins=env_origin, vx_range=vx_range
+        )
 
         dr = self.cfg.domain_rand
         if dr.randomize_friction:
@@ -352,6 +410,10 @@ class LeggedEnv:
             friction=friction,
             mass_scale=mass_scale,
             episode_sums=jnp.zeros((N, len(self.episode_term_names))),
+            env_origin=env_origin,
+            terrain_level=terrain_level,
+            terrain_type=terrain_type,
+            cmd_vx_range=cmd_vx_range,
             obs=jnp.zeros((N, self.num_obs)),
             priv_obs=(
                 jnp.zeros((N, self.num_privileged_obs))
@@ -376,9 +438,12 @@ class LeggedEnv:
         sim_dt, dec = cfg.sim.dt, cfg.control.decimation
         m_n, m_t = self.m_eff_n, self.m_eff_t
 
+        ground_fn = self.ground_fn
+
         def one_env(phys, tgt, fric, mass):
             return eng.control_step(
-                model, cp, pd, sim_dt, dec, phys, tgt, fric, mass, m_n, m_t
+                model, cp, pd, sim_dt, dec, phys, tgt, fric, mass, m_n, m_t,
+                ground_fn=ground_fn,
             )
 
         phys, aux = jax.vmap(one_env)(
@@ -428,9 +493,14 @@ class LeggedEnv:
 
         # ---- command resample + heading controller + subclass callback
         #      (legged_robot.py:488-517) ----
-        key, k_cmd, k_push, k_reset, k_noise = jax.random.split(state.key, 5)
+        key, k_cmd, k_push, k_reset, k_noise, k_lvl = jax.random.split(
+            state.key, 6
+        )
+        vx_range = (
+            state.cmd_vx_range if cfg.commands.curriculum else None
+        )
         resample_mask = (episode_length % self.resample_interval) == 0
-        new_cmds = self._sample_commands(k_cmd, N)
+        new_cmds = self._sample_commands(k_cmd, N, vx_range)
         commands = jnp.where(
             resample_mask[:, None], new_cmds, state.commands
         )
@@ -482,10 +552,69 @@ class LeggedEnv:
             term_rews.append(r_t)
         episode_sums = state.episode_sums + jnp.stack(term_rews, axis=1)
 
-        # ---- fused reset (legged_robot.py:723-768) ----
-        reset_phys, reset_cmds = self._sample_reset(k_reset, N)
+        # ---- curricula, evaluated at reset time ----
         m = reset_buf
         mb = m[:, None]
+        terrain_level = state.terrain_level
+        env_origin = state.env_origin
+        if self.terrain is not None and cfg.terrain.curriculum:
+            # ETH legged_gym terrain curriculum: promote envs that crossed
+            # half the sub-terrain, demote envs that walked less than half
+            # of what the command asked for; graduates get a random row.
+            tcfg = cfg.terrain
+            dist = jnp.linalg.norm(
+                phys.base_pos[:, :2] - state.env_origin[:, :2], axis=1
+            )
+            move_up = dist > tcfg.terrain_length / 2.0
+            move_down = (
+                dist
+                < jnp.linalg.norm(commands[:, :2], axis=1)
+                * self.max_episode_length_s * 0.5
+            ) & ~move_up
+            new_level = terrain_level + move_up.astype(jnp.int32) - (
+                move_down.astype(jnp.int32)
+            )
+            rand_level = jax.random.randint(
+                k_lvl, (N,), 0, tcfg.num_rows
+            )
+            new_level = jnp.where(
+                new_level >= tcfg.num_rows, rand_level,
+                jnp.maximum(new_level, 0),
+            )
+            terrain_level = jnp.where(m, new_level, terrain_level)
+            env_origin = jnp.where(
+                mb,
+                self.terrain_origins[terrain_level, state.terrain_type],
+                env_origin,
+            )
+
+        cmd_vx_range = state.cmd_vx_range
+        if cfg.commands.curriculum:
+            # update_command_curriculum (legged_robot.py:596-611): widen the
+            # vx range by 0.5 when the mean tracking reward of reset envs
+            # exceeds 80% of its maximum.
+            idx = self.reward_names.index("tracking_lin_vel")
+            scale = self.reward_scales[idx]
+            count = jnp.maximum(jnp.sum(m), 1)
+            mean_track = (
+                jnp.sum(jnp.where(m, episode_sums[:, idx], 0.0)) / count
+            ) / self.max_episode_length
+            grow = (mean_track > 0.8 * scale) & (jnp.sum(m) > 0)
+            mc = cfg.commands.max_curriculum
+            cmd_vx_range = jnp.where(
+                grow,
+                jnp.stack(
+                    (jnp.clip(cmd_vx_range[0] - 0.5, -mc, 0.0),
+                     jnp.clip(cmd_vx_range[1] + 0.5, 0.0, mc))
+                ),
+                cmd_vx_range,
+            )
+
+        # ---- fused reset (legged_robot.py:723-768) ----
+        reset_phys, reset_cmds = self._sample_reset(
+            k_reset, N, origins=env_origin,
+            vx_range=cmd_vx_range if cfg.commands.curriculum else None,
+        )
 
         def sel(new, old):
             expand = (...,) + (None,) * (old.ndim - 1)
@@ -517,6 +646,9 @@ class LeggedEnv:
             last_contacts=jnp.where(mb, False, state.last_contacts),
             episode_length=jnp.where(m, 0, episode_length),
             episode_sums=episode_sums,
+            terrain_level=terrain_level,
+            env_origin=env_origin,
+            cmd_vx_range=cmd_vx_range,
         )
 
         # ---- pushes (legged_robot.py:540-555): overwrite world vxy ----
@@ -563,6 +695,13 @@ class LeggedEnv:
             "episode_reset_count": reset_count,
             "episode_length_at_reset": ep_len_at_reset,
         }
+        if self.terrain is not None and cfg.terrain.curriculum:
+            extras["terrain_level_mean"] = jnp.mean(
+                terrain_level.astype(jnp.float32)
+            )
+        if cfg.commands.curriculum:
+            # extras["episode"]["max_command_x"] (legged_robot.py:764-765)
+            extras["max_command_x"] = cmd_vx_range[1]
         if cfg.env.send_timeouts:
             extras["time_outs"] = time_out_buf
         return state, obs, priv_obs, rew, reset_buf, extras

@@ -108,9 +108,67 @@ def _lstm_to_torch(params, scope, input_dim, hidden, num_layers):
     return lstm
 
 
+def export_cpp_bin(runner, path: str):
+    """Flat binary for the C++ deploy controller (deploy/cpp/policy.cpp).
+
+    Layout (v1, little-endian):
+      u32 magic 'UTRL', u32 version=1, u32 is_recurrent, u32 num_obs,
+      u32 num_actions, u32 rnn_hidden, u32 rnn_layers, u32 n_mlp_layers,
+      u32 activation(0=elu);
+      per LSTM layer: u32 in, u32 hidden, f32 w_ih[in,4H], f32 w_hh[h,4H],
+        f32 bias[4H] (gate order i|f|g|o);
+      per MLP layer: u32 in, u32 out, f32 kernel[in,out], f32 bias[out].
+    """
+    import struct
+
+    os.makedirs(path, exist_ok=True)
+    params = runner.train_state.params
+    pc = runner.cfg.policy
+    recurrent = runner.net.is_recurrent
+    n_mlp = len(pc.actor_hidden_dims) + 1
+    out_path = os.path.join(path, "policy.bin")
+    with open(out_path, "wb") as f:
+        f.write(struct.pack(
+            "<9I", 0x4C525455, 1, int(recurrent),
+            runner.env.num_obs, runner.env.num_actions,
+            pc.rnn_hidden_size if recurrent else 0,
+            pc.rnn_num_layers if recurrent else 0,
+            n_mlp, 0,
+        ))
+        if recurrent:
+            mem = params["params"]["memory_a"]
+            for l in range(pc.rnn_num_layers):
+                cell = mem[f"lstm_{l}"]
+                w_ih = np.concatenate(
+                    [np.asarray(cell[g]["kernel"]) for g in
+                     ("ii", "if", "ig", "io")], axis=1
+                ).astype("<f4")
+                w_hh = np.concatenate(
+                    [np.asarray(cell[g]["kernel"]) for g in
+                     ("hi", "hf", "hg", "ho")], axis=1
+                ).astype("<f4")
+                bias = np.concatenate(
+                    [np.asarray(cell[g]["bias"]) for g in
+                     ("hi", "hf", "hg", "ho")]
+                ).astype("<f4")
+                f.write(struct.pack("<2I", w_ih.shape[0], pc.rnn_hidden_size))
+                f.write(w_ih.tobytes())
+                f.write(w_hh.tobytes())
+                f.write(bias.tobytes())
+        actor = params["params"]["actor"]
+        for i in range(n_mlp):
+            k = np.asarray(actor[f"Dense_{i}"]["kernel"]).astype("<f4")
+            b = np.asarray(actor[f"Dense_{i}"]["bias"]).astype("<f4")
+            f.write(struct.pack("<2I", k.shape[0], k.shape[1]))
+            f.write(k.tobytes())
+            f.write(b.tobytes())
+    return out_path
+
+
 def export_policy(runner, path: str):
     """Export both artifact flavors. Returns the metadata dict."""
     meta = export_flat(runner, path)
+    export_cpp_bin(runner, path)
     try:
         import torch
     except Exception as e:

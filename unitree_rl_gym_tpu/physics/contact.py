@@ -83,7 +83,7 @@ def contact_solve(
     m_eff_t,          # [ncp] tangential effective mass
     friction_env,     # scalar per-env DR shape friction
     dt: float,
-    ground_height=0.0,
+    ground_fn=None,   # callable xy[...,2] -> ground height (None = z=0 plane)
 ):
     """Run the impulse solver; returns (v_new [nv], cf_rb [nrb,3])."""
     ncp = model.cp_pos.shape[0]
@@ -91,6 +91,7 @@ def contact_solve(
 
     # contact geometry is frozen for the pass (positions don't change)
     x, _ = point_kinematics(model, R_w, p_w, dyn.velocity_prop(model, E_up, r_up, v))
+    ground_height = ground_fn(x[:, :2]) if ground_fn is not None else 0.0
     phi = model.cp_radius + ground_height - x[:, 2]
     active = phi > 0.0
     v_bias = jnp.minimum(

@@ -63,6 +63,7 @@ def control_step(
     mass_scale,        # scalar DR base-mass factor
     m_eff_n,           # [ncp] contact preconditioner (build-time constant)
     m_eff_t,           # [ncp]
+    ground_fn=None,    # terrain height lookup (None = z=0 plane)
 ):
     """Advance one control step (= ``decimation`` physics substeps).
 
@@ -95,6 +96,7 @@ def control_step(
         v_new, cf_rb = ct.contact_solve(
             model, cparams, E_up, r_up, R_w, p_w, H_cho,
             v_free, m_eff_n, m_eff_t, friction_env, sim_dt,
+            ground_fn=ground_fn,
         )
 
         bp, bq, q, _ = dyn.integrate(
