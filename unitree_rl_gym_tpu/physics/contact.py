@@ -59,17 +59,6 @@ def point_kinematics(model: dyn.DynModel, R_w, p_w, v_b):
     return x, v
 
 
-def _gather_generalized(model: dyn.DynModel, R_w, imp_world):
-    """Map per-point world impulses [ncp,3] to a generalized impulse [nb,6]
-    in body coords (J^T p without materializing J)."""
-    b = model.cp_dyn
-    Rb = R_w[b]
-    p_body = jnp.einsum("cji,cj->ci", Rb, imp_world)
-    n_body = jnp.cross(model.cp_pos, p_body)
-    f_sp = jnp.concatenate((n_body, p_body), axis=-1)
-    return jax.ops.segment_sum(f_sp, b, num_segments=model.nb)
-
-
 def contact_solve(
     model: dyn.DynModel,
     params: ContactParams,
@@ -87,6 +76,7 @@ def contact_solve(
 ):
     """Run the impulse solver; returns (v_new [nv], cf_rb [nrb,3])."""
     ncp = model.cp_pos.shape[0]
+    nv = model.nv
     mu = 0.5 * (params.terrain_friction + friction_env)
 
     # contact geometry is frozen for the pass (positions don't change)
@@ -99,19 +89,33 @@ def contact_solve(
         params.max_depenetration_velocity,
     )
 
+    # Point-velocity Jacobian A [ncp, 3, nv] built once per substep by
+    # propagating the nv basis velocities through the (linear-in-v)
+    # kinematics; every PGS iteration then reduces to two einsums and one
+    # triangular solve instead of re-running the body recursions.
+    def basis_point_vels(e):
+        v_b = dyn.velocity_prop(model, E_up, r_up, e)
+        _, v_pt = point_kinematics(model, R_w, p_w, v_b)
+        return v_pt
+
+    A = jnp.transpose(
+        jax.vmap(basis_point_vels)(jnp.eye(nv)), (1, 2, 0)
+    )  # [ncp, 3, nv]
+
     # Block-Jacobi scaling: all point deltas are applied simultaneously, so
     # points sharing a dynamic body would overshoot by their count. Scale
     # each delta by 1/#active-points-on-body (exact within a rigid body,
-    # conservative across bodies).
-    n_active = jax.ops.segment_sum(
-        active.astype(jnp.float32), model.cp_dyn, num_segments=model.nb
-    )
+    # conservative across bodies). Segment reductions are phrased as
+    # constant one-hot matmuls — vmapped scatters are poison on TPU.
+    onehot_dyn = (
+        model.cp_dyn[None, :] == jnp.arange(model.nb)[:, None]
+    ).astype(jnp.float32)                                   # [nb, ncp]
+    n_active = onehot_dyn @ active.astype(jnp.float32)
     jacobi = 1.0 / jnp.maximum(n_active[model.cp_dyn], 1.0)
 
     def iteration(carry, _):
         v, pn_acc, pt_acc = carry
-        v_b = dyn.velocity_prop(model, E_up, r_up, v)
-        _, v_pt = point_kinematics(model, R_w, p_w, v_b)
+        v_pt = jnp.einsum("cdn,n->cd", A, v)
         vn = v_pt[:, 2]
         vt = v_pt[:, :2]
 
@@ -130,8 +134,7 @@ def contact_solve(
         dpt = pt_new - pt_acc
 
         imp_world = jnp.concatenate((dpt, dpn[:, None]), axis=-1)
-        f_sp = _gather_generalized(model, R_w, imp_world)
-        tau_gen = _spatial_to_generalized(model, E_up, r_up, f_sp)
+        tau_gen = jnp.einsum("cdn,cd->n", A, imp_world)  # J^T p
         dv = jax.scipy.linalg.cho_solve(H_cho, tau_gen)
         return (v + dv, pn_new, pt_new), None
 
@@ -144,35 +147,11 @@ def contact_solve(
 
     # report: net world contact force per report body (impulse / dt)
     f_world = jnp.concatenate((pt, pn[:, None]), axis=-1) / dt
-    cf_rb = jax.ops.segment_sum(
-        f_world, model.cp_body, num_segments=model.rb_rot.shape[0]
-    )
+    onehot_rb = (
+        model.cp_body[None, :] == jnp.arange(model.rb_rot.shape[0])[:, None]
+    ).astype(jnp.float32)                                   # [nrb, ncp]
+    cf_rb = jnp.einsum("rc,cd->rd", onehot_rb, f_world)
     return v, cf_rb
-
-
-def _spatial_to_generalized(model: dyn.DynModel, E_up, r_up, f_sp):
-    """Backward-accumulate per-body spatial forces [nb,6] (body coords,
-    about body origins) into a generalized force [nv]: the base wrench plus
-    S_j^T projections at each joint — i.e. J^T f without forming J."""
-    f = [f_sp[i] for i in range(model.nb)]
-    tau_j = [None] * model.nj
-    for i in range(model.nb - 1, 0, -1):
-        j = i - 1
-        S = jnp.concatenate((model.joint_axis[j], jnp.zeros(3)))
-        tau_j[j] = S @ f[i]
-        f[model.parent[i]] = f[model.parent[i]] + _force_to_parent(
-            E_up[j], r_up[j], f[i]
-        )
-    top = f[0]
-    if model.nj:
-        return jnp.concatenate((top, jnp.stack(tau_j)))
-    return top
-
-
-def _force_to_parent(E, r, fc):
-    from unitree_rl_gym_tpu.physics import spatial as sp
-
-    return sp.xform_force_inv(E, r, fc)
 
 
 def point_effective_mass(model: dyn.DynModel, base_quat, base_pos, joint_q):

@@ -90,7 +90,16 @@ class OnPolicyRunner:
                 print(f"[runner] tensorboard writer unavailable: {e}")
         start = self.current_learning_iteration
         steps_per_iter = self.env.num_envs * self.cfg.runner.num_steps_per_env
+        profile_iters = int(os.environ.get("UTRL_PROFILE_ITERS", 0))
+        profiler_ctx = None
         for it in range(start, start + num_learning_iterations):
+            if profile_iters and it == start + 1:
+                from unitree_rl_gym_tpu.utils.profiling import trace
+
+                profiler_ctx = trace(
+                    os.path.join(self.log_dir or ".", "profile")
+                )
+                profiler_ctx.__enter__()
             t0 = time.time()
             (self.train_state, self._env_state, self._obs, self._critic_obs,
              self._carry, metrics) = self._iter_fn(
@@ -102,6 +111,13 @@ class OnPolicyRunner:
             fps = steps_per_iter / dt_wall
             self.current_learning_iteration = it + 1
             self._log(it, metrics, fps, dt_wall)
+            if (
+                profiler_ctx is not None
+                and it == start + profile_iters
+            ):
+                profiler_ctx.__exit__(None, None, None)
+                profiler_ctx = None
+                print(f"[runner] profile written to {self.log_dir}/profile")
             if self.log_dir and (
                 (it + 1) % self.cfg.runner.save_interval == 0
             ):
