@@ -1,0 +1,123 @@
+"""Humanoid (G1/H1/H1_2) and handstand env pipelines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitree_rl_gym_tpu.envs.g1 import g1_rough_cfg
+from unitree_rl_gym_tpu.envs.go2_handstand import (
+    GO2HandstandEnv, go2_handstand_cfg,
+)
+from unitree_rl_gym_tpu.envs.h1 import h1_rough_cfg
+from unitree_rl_gym_tpu.envs.h1_2 import h1_2_rough_cfg
+from unitree_rl_gym_tpu.envs.humanoid import G1Env, H1Env, H1_2Env
+
+
+@pytest.mark.parametrize(
+    "env_cls,cfg_fn,n_obs,n_priv,n_act",
+    [
+        (G1Env, g1_rough_cfg, 47, 50, 12),
+        (H1Env, h1_rough_cfg, 41, 44, 10),
+        (H1_2Env, h1_2_rough_cfg, 47, 50, 12),
+    ],
+)
+def test_humanoid_shapes_and_step(env_cls, cfg_fn, n_obs, n_priv, n_act):
+    cfg = cfg_fn()
+    cfg.env.num_envs = 4
+    env = env_cls(cfg)
+    assert env.num_obs == n_obs and env.num_privileged_obs == n_priv
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    assert obs.shape == (4, n_obs)
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, obs, priv, rew, done, extras = step(
+            state, jnp.zeros((4, n_act))
+        )
+    assert priv.shape == (4, n_priv)
+    assert np.all(np.isfinite(np.asarray(obs)))
+    assert np.all(np.isfinite(np.asarray(rew)))
+    # sin/cos phase occupy the last two obs dims and stay on the unit circle
+    sincos = np.asarray(obs[:, -2:])
+    r = np.sqrt((sincos**2).sum(-1))
+    assert np.all(np.abs(r - 1.0) < 0.35)  # noise-free dims + obs clip margin
+
+
+def test_humanoid_phase_clock():
+    cfg = g1_rough_cfg()
+    cfg.env.num_envs = 2
+    env = G1Env(cfg)
+    # phase period 0.8 s, dt 0.02 -> 40 steps per cycle; offset 0.5 L/R
+    phase, leg_phase = env._phase(jnp.asarray([0, 20]))
+    np.testing.assert_allclose(np.asarray(phase), [0.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(leg_phase), [[0.0, 0.5], [0.5, 0.0]], atol=1e-6
+    )
+
+
+def test_humanoid_priv_obs_prepends_lin_vel():
+    cfg = g1_rough_cfg()
+    cfg.env.num_envs = 2
+    cfg.noise.add_noise = False
+    env = G1Env(cfg)
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    priv = state.priv_obs
+    np.testing.assert_allclose(
+        np.asarray(priv[:, 3:]), np.asarray(obs), atol=1e-6
+    )
+
+
+def test_handstand_env():
+    cfg = go2_handstand_cfg()
+    cfg.env.num_envs = 4
+    env = GO2HandstandEnv(cfg)
+    assert env.num_obs == 46
+    assert not env.pd.clip_torque            # go2_handstand_env.py:326-350
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    assert obs.shape == (4, 46)
+    # contact flags are binary
+    flags = np.asarray(obs[:, -4:])
+    assert set(np.unique(flags)).issubset({0.0, 1.0})
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state, obs, priv, rew, done, extras = step(
+            state, jnp.zeros((4, 12))
+        )
+    assert np.all(np.isfinite(np.asarray(rew)))
+    # only_positive_rewards is off: negative totals allowed
+    assert env.cfg.rewards.only_positive_rewards is False
+
+
+def test_handstand_rear_target_clamp():
+    cfg = go2_handstand_cfg()
+    cfg.env.num_envs = 2
+    env = GO2HandstandEnv(cfg)
+    big = jnp.ones((2, 12)) * 50.0
+    target = env._compute_target(big)
+    rear = np.asarray(target[:, env.rear_dof_idx])
+    center = np.asarray(env.rear_center)
+    assert np.all(rear <= center + 0.15 + 1e-6)
+    front = np.asarray(target[:, env.front_dof_idx])
+    assert np.all(front > 1.0)  # unclamped (action_scale 0.3 * 50)
+
+
+def test_handstand_termination_not_inverted():
+    cfg = go2_handstand_cfg()
+    cfg.env.num_envs = 4
+    env = GO2HandstandEnv(cfg)
+    state, _ = env.reset_all(jax.random.PRNGKey(0))
+    # upright robot with legal contacts: "fallen" check is on the sideways
+    # band (-0.2 < g_z < 0.2). Put base sideways -> should terminate.
+    import unitree_rl_gym_tpu.utils.math as tm
+
+    q_side = tm.quat_from_euler_xyz(
+        jnp.full((4,), jnp.pi / 2), jnp.zeros(4), jnp.zeros(4)
+    )
+    state = state.replace(
+        phys=state.phys.replace(
+            base_quat=q_side,
+            base_pos=state.phys.base_pos.at[:, 2].set(1.0),
+        )
+    )
+    state, obs, _, rew, reset, _ = env.step(state, jnp.zeros((4, 12)))
+    assert bool(jnp.all(reset))

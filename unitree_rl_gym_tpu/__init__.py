@@ -11,6 +11,15 @@ Path constants mirror the reference package root constants
 
 import os
 
+# fp32 matmuls everywhere: XLA's default TPU matmul precision computes in
+# bf16, which silently degrades the 3x3 rotation chains and contact
+# geometry (mm-scale penetrations) and breaks the fixed-seed fp32
+# reproducibility contract (BASELINE.md). The physics is bandwidth-bound at
+# these shapes, so the cost is negligible.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 UNITREE_RL_GYM_TPU_ROOT_DIR = os.path.dirname(
     os.path.dirname(os.path.abspath(__file__))
 )

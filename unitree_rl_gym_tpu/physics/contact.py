@@ -66,7 +66,7 @@ def contact_solve(
     r_up,
     R_w,
     p_w,
-    H_cho,            # cholesky factorization of H(q) from cho_factor
+    Hinv,             # [nv, nv] explicit inverse mass matrix
     v,                # [nv] generalized velocity AFTER free dynamics
     m_eff_n,          # [ncp] normal-direction effective mass (preconditioner)
     m_eff_t,          # [ncp] tangential effective mass
@@ -101,6 +101,14 @@ def contact_solve(
     A = jnp.transpose(
         jax.vmap(basis_point_vels)(jnp.eye(nv)), (1, 2, 0)
     )  # [ncp, 3, nv]
+    # Hoist everything loop-invariant out of the PGS scan: direction slices
+    # of A (XLA otherwise re-slices the big array every iteration) and the
+    # "response" matrices A H^{-1} that turn impulse application + velocity
+    # refresh into plain matvecs.
+    An = A[:, 2, :]                       # [ncp, nv] normal rows
+    At = A[:, :2, :]                      # [ncp, 2, nv] tangent rows
+    AHn = An @ Hinv                       # [ncp, nv]
+    AHt = jnp.einsum("cdn,nm->cdm", At, Hinv)
 
     # Block-Jacobi scaling: all point deltas are applied simultaneously, so
     # points sharing a dynamic body would overshoot by their count. Scale
@@ -115,9 +123,8 @@ def contact_solve(
 
     def iteration(carry, _):
         v, pn_acc, pt_acc = carry
-        v_pt = jnp.einsum("cdn,n->cd", A, v)
-        vn = v_pt[:, 2]
-        vt = v_pt[:, :2]
+        vn = An @ v                                    # [ncp]
+        vt = jnp.einsum("cdn,n->cd", At, v)            # [ncp, 2]
 
         # normal: target velocity = +v_bias (de-penetration), accumulate >= 0
         dpn = params.relaxation * jacobi * m_eff_n * (v_bias - vn)
@@ -133,9 +140,8 @@ def contact_solve(
         pt_new = pt_new * scale[:, None]
         dpt = pt_new - pt_acc
 
-        imp_world = jnp.concatenate((dpt, dpn[:, None]), axis=-1)
-        tau_gen = jnp.einsum("cdn,cd->n", A, imp_world)  # J^T p
-        dv = jax.scipy.linalg.cho_solve(H_cho, tau_gen)
+        # dv = H^{-1} J^T dp via the precomputed response matrices
+        dv = dpn @ AHn + jnp.einsum("cd,cdm->m", dpt, AHt)
         return (v + dv, pn_new, pt_new), None
 
     (v, pn, pt), _ = jax.lax.scan(
@@ -172,10 +178,9 @@ def point_effective_mass(model: dyn.DynModel, base_quat, base_pos, joint_q):
     A = jax.vmap(point_vels)(jnp.eye(nv))          # [nv, ncp, 3]
     A = jnp.transpose(A, (1, 2, 0))                # [ncp, 3, nv]
     H = dyn.mass_matrix(model, fk_out, 1.0)
-    L = jax.scipy.linalg.cho_factor(H, lower=True)
-    HinvAT = jax.scipy.linalg.cho_solve(L, A.reshape(-1, nv).T)  # [nv, ncp*3]
+    Hinv = dyn.cholesky_inverse(H)
+    Hib = jnp.einsum("cdn,nm->cdm", A, Hinv)       # [ncp, 3, nv]
     # per-point 3x3 Delassus diag blocks:
-    Hib = HinvAT.T.reshape(-1, 3, nv)              # [ncp, 3, nv]
     D = jnp.einsum("cdn,cen->cde", A, Hib)         # [ncp, 3, 3]
     m_n = 1.0 / jnp.clip(D[:, 2, 2], 1e-6, None)
     m_t = 1.0 / jnp.clip(0.5 * (D[:, 0, 0] + D[:, 1, 1]), 1e-6, None)

@@ -198,6 +198,56 @@ def mass_matrix(model: DynModel, fk_out, mass_scale):
     return H
 
 
+def cholesky_inverse(H):
+    """Explicit H^{-1} for a batch of small SPD matrices via a fully
+    unrolled Cholesky + triangular inversion.
+
+    ``jax.scipy.linalg.cho_factor`` lowers to a LAPACK-style custom-call
+    that is catastrophically slow for [B, 18, 18] batches on TPU (~8 ms per
+    call measured on v5e). Unrolling over the static size n emits only
+    plain batched einsums/elementwise ops that fuse, and the explicit
+    inverse turns every downstream solve into one MXU matvec — the mass
+    matrix is reused by the free-velocity solve and all contact-solver
+    iterations, so inverting once wins.
+    """
+    n = H.shape[-1]
+    batch = H.shape[:-2]
+    cols = []          # columns of L, each [..., n]
+    rows = []          # rows of L as [..., j+1] slices for the inversion
+    for j in range(n):
+        if j:
+            Lj = jnp.stack([cols[k][..., j] for k in range(j)], axis=-1)
+            s = H[..., :, j] - jnp.einsum(
+                "...ik,...k->...i",
+                jnp.stack(cols[:j], axis=-1), Lj,
+            )
+        else:
+            s = H[..., :, j]
+        inv_d = jax.lax.rsqrt(jnp.maximum(s[..., j], 1e-12))
+        col = s * inv_d[..., None]
+        # zero the upper part (rows < j)
+        mask = jnp.arange(n) >= j
+        col = col * mask
+        cols.append(col)
+    L = jnp.stack(cols, axis=-1)                       # [..., n, n] lower
+
+    # X = L^{-1} by forward substitution, row by row (unrolled)
+    xrows = []
+    eye = jnp.eye(n, dtype=H.dtype)
+    for i in range(n):
+        if i:
+            acc = jnp.einsum(
+                "...k,...kj->...j",
+                L[..., i, :i], jnp.stack(xrows, axis=-2),
+            )
+        else:
+            acc = 0.0
+        xi = (eye[i] - acc) / L[..., i, i][..., None]
+        xrows.append(xi)
+    X = jnp.stack(xrows, axis=-2)                      # [..., n, n] = L^{-1}
+    return jnp.einsum("...ki,...kj->...ij", X, X)      # L^{-T} L^{-1}
+
+
 def passive_torque(model: DynModel, qd_j):
     """URDF joint damping + smoothed dry friction (PhysX dof props)."""
     return -model.dof_damping * qd_j - model.dof_friction * jnp.tanh(qd_j / 0.1)
@@ -225,8 +275,8 @@ def forward_dynamics(
     tau = jnp.concatenate(
         (jnp.zeros(6), tau_joint + passive_torque(model, v[6:]))
     )
-    L = jax.scipy.linalg.cho_factor(H, lower=True)
-    return jax.scipy.linalg.cho_solve(L, tau - bias)
+    Hinv = cholesky_inverse(H)
+    return Hinv @ (tau - bias)
 
 
 def integrate(model: DynModel, base_pos, base_quat, joint_q, v, qdd, dt):

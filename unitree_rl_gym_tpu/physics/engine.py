@@ -75,7 +75,8 @@ def control_step(
     """
     no_ext = jnp.zeros((model.nb, 6))
 
-    def substep(s: PhysicsState, _):
+    def substep(carry, _):
+        s, _tau, _cf = carry
         fk_out = dyn.fk(model, s.base_pos, s.base_quat, s.joint_q, s.v)
         R_w, p_w, (E_up, r_up), v_b = fk_out
 
@@ -85,16 +86,14 @@ def control_step(
 
         bias = dyn.bias_forces(model, fk_out, s.v, no_ext, mass_scale)
         H = dyn.mass_matrix(model, fk_out, mass_scale)
-        H_cho = jax.scipy.linalg.cho_factor(H, lower=True)
+        Hinv = dyn.cholesky_inverse(H)
         tau_gen = jnp.concatenate(
             (jnp.zeros(6), tau + dyn.passive_torque(model, s.v[6:]))
         )
-        v_free = s.v + sim_dt * jax.scipy.linalg.cho_solve(
-            H_cho, tau_gen - bias
-        )
+        v_free = s.v + sim_dt * (Hinv @ (tau_gen - bias))
 
         v_new, cf_rb = ct.contact_solve(
-            model, cparams, E_up, r_up, R_w, p_w, H_cho,
+            model, cparams, E_up, r_up, R_w, p_w, Hinv,
             v_free, m_eff_n, m_eff_t, friction_env, sim_dt,
             ground_fn=ground_fn,
         )
@@ -103,10 +102,17 @@ def control_step(
             model, s.base_pos, s.base_quat, s.joint_q, v_new, jnp.zeros_like(v_new), sim_dt
         )
         new = PhysicsState(base_pos=bp, base_quat=bq, joint_q=q, v=v_new)
-        return new, (tau, cf_rb)
+        # last-substep torques/contacts ride the carry (stacking per-substep
+        # outputs just to take [-1] would write decimation x the data)
+        return (new, tau, cf_rb), None
 
-    state, (taus, cfs) = jax.lax.scan(
-        substep, state, None, length=decimation
+    init = (
+        state,
+        jnp.zeros((model.nj,)),
+        jnp.zeros((model.rb_rot.shape[0], 3)),
+    )
+    (state, tau_last, cf_last), _ = jax.lax.scan(
+        substep, init, None, length=decimation
     )
     # Post-loop refresh: recompute world kinematics of the settled state for
     # observation/reward building (legged_robot.py:678-690).
@@ -115,8 +121,8 @@ def control_step(
     )
     rb_pos_w, rb_vel_w = rb_states(model, R_w, p_w, v_b)
     aux = {
-        "torques": taus[-1],
-        "cf_rb": cfs[-1],
+        "torques": tau_last,
+        "cf_rb": cf_last,
         "rb_pos_w": rb_pos_w,
         "rb_vel_w": rb_vel_w,
     }
