@@ -19,3 +19,11 @@ import jax  # noqa: E402  (import after env vars)
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite compiles a handful of large fused
+# programs (env step, PPO iteration); caching them across runs/processes
+# cuts repeat wall-clock from ~25 min to ~2 min.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

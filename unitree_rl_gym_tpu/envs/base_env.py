@@ -113,10 +113,12 @@ class LeggedEnv:
             for i, name in enumerate(r.dof_names):
                 if kp[i] == 0:
                     print(f"PD gain of joint {name} were not defined, setting them to zero")
+        # numpy (trace-time constants): the SoA/Pallas backends fold these
+        # into the kernel; jnp ops broadcast numpy fine on the vmap path.
         self.pd = eng.PDParams(
-            kp=jnp.asarray(kp, jnp.float32),
-            kd=jnp.asarray(kd, jnp.float32),
-            torque_limit=jnp.asarray(r.dof_effort, jnp.float32),
+            kp=np.asarray(kp, np.float32),
+            kd=np.asarray(kd, np.float32),
+            torque_limit=np.asarray(r.dof_effort, np.float32),
             clip_torque=True,
         )
         self.cparams = ct.ContactParams(
@@ -171,11 +173,14 @@ class LeggedEnv:
                 self.terrain.env_origins, jnp.float32
             )
 
-        # contact-solver preconditioner at nominal pose
-        self.m_eff_n, self.m_eff_t = ct.point_effective_mass(
+        # contact-solver preconditioner at nominal pose (numpy: trace-time
+        # constant folded into the SoA/Pallas kernels)
+        m_eff_n, m_eff_t = ct.point_effective_mass(
             r.dyn, self.base_init_quat, self.base_init_pos,
             self.default_dof_pos,
         )
+        self.m_eff_n = np.asarray(m_eff_n, np.float32)
+        self.m_eff_t = np.asarray(m_eff_t, np.float32)
 
         # reward machinery: prune zero scales, multiply by dt
         # (legged_robot.py:821-836)
@@ -432,22 +437,20 @@ class LeggedEnv:
         clip_a = cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
 
-        # ---- physics (decimated PD loop), vmapped over envs ----
+        # ---- physics (decimated PD loop) via the selected backend:
+        #      fused Pallas kernel on TPU, batched SoA XLA elsewhere ----
+        from unitree_rl_gym_tpu.physics import backend as pback
+
         target = self._compute_target(actions)
         model, cp, pd = self.robot.dyn, self.cparams, self.pd
         sim_dt, dec = cfg.sim.dt, cfg.control.decimation
         m_n, m_t = self.m_eff_n, self.m_eff_t
 
-        ground_fn = self.ground_fn
-
-        def one_env(phys, tgt, fric, mass):
-            return eng.control_step(
-                model, cp, pd, sim_dt, dec, phys, tgt, fric, mass, m_n, m_t,
-                ground_fn=ground_fn,
-            )
-
-        phys, aux = jax.vmap(one_env)(
-            state.phys, target, state.friction, state.mass_scale
+        phys, aux = pback.control_step(
+            model, cp, pd, sim_dt, dec, state.phys, target,
+            state.friction, state.mass_scale, m_n, m_t,
+            ground_fn=self.ground_fn,
+            backend=getattr(cfg.sim, "backend", "auto"),
         )
         state = state.replace(phys=phys, actions=actions)
 

@@ -62,7 +62,8 @@ class ActorCritic(nn.Module):
         self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
-                                 math.log(self.init_noise_std)),
+                                 math.log(self.init_noise_std),
+                                 dtype=jnp.float32),
         )
 
     def __call__(self, obs, critic_obs=None, carry=None):
@@ -123,7 +124,8 @@ class ActorCriticRecurrent(nn.Module):
         self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
-                                 math.log(self.init_noise_std)),
+                                 math.log(self.init_noise_std),
+                                 dtype=jnp.float32),
         )
 
     def __call__(self, obs, critic_obs=None, carry=None):

@@ -1,0 +1,141 @@
+"""Physics backends: batched control-step implementations + dispatch.
+
+Three interchangeable implementations of the decimated control step
+(engine.control_step semantics, legged_robot.py:627-671):
+
+  * ``vmap``   — the per-env formulation in physics/engine.py `vmap`-ed over
+                 the batch (reference implementation; slow on TPU).
+  * ``soa``    — physics/soa.py evaluated with the env batch as the trailing
+                 shape of every scalar, as one fused XLA program.
+  * ``pallas`` — the same SoA code compiled as a single Pallas TPU kernel
+                 with every intermediate resident in VMEM
+                 (physics/pallas_step.py).
+
+All return ``(PhysicsState [N,...], aux)`` with aux = {torques [N,nj],
+cf_rb [N,nrb,3], rb_pos_w [N,nrb,3], rb_vel_w [N,nrb,3]}.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unitree_rl_gym_tpu.physics import dynamics as dyn
+from unitree_rl_gym_tpu.physics import engine as eng
+from unitree_rl_gym_tpu.physics import soa
+
+_SOA_CACHE = {}
+
+
+def soa_model_for(model: dyn.DynModel) -> soa.SoAModel:
+    key = id(model)
+    if key not in _SOA_CACHE:
+        _SOA_CACHE[key] = soa.build_soa_model(model)
+    return _SOA_CACHE[key]
+
+
+def control_step_vmap(model, cparams, pd, sim_dt, decimation, state,
+                      target, friction, mass_scale, m_eff_n, m_eff_t,
+                      ground_fn=None):
+    def one_env(phys, tgt, fric, mass):
+        return eng.control_step(
+            model, cparams, pd, sim_dt, decimation, phys, tgt, fric, mass,
+            m_eff_n, m_eff_t, ground_fn=ground_fn,
+        )
+    return jax.vmap(one_env)(state, target, friction, mass_scale)
+
+
+def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
+                     target, friction, mass_scale, m_eff_n, m_eff_t,
+                     ground_fn=None):
+    """Batched SoA control step as a plain XLA program (env batch =
+    trailing dim of every scalar). Used on CPU/tests and wherever the
+    Pallas kernel doesn't apply (terrain lookups, odd batch sizes)."""
+    m = soa_model_for(model)
+    N = state.joint_q.shape[0]
+    nj, nv = m.nj, m.nv
+
+    kp = [float(x) for x in pd.kp]
+    kd = [float(x) for x in pd.kd]
+    lim = [float(x) for x in pd.torque_limit]
+    m_eff_n = np.asarray(m_eff_n)[m.cp_perm]
+    m_eff_t = np.asarray(m_eff_t)[m.cp_perm]
+
+    def unstack(a):
+        return [a[..., i] for i in range(a.shape[-1])]
+
+    def substep(carry, _):
+        bp, bq, q, v, _tau, _pn, _pt = carry
+        bp2, bq2, q2, v2, tau, pn, pt = soa.substep_s(
+            m, cparams, kp, kd, lim, pd.clip_torque, sim_dt,
+            tuple(unstack(bp)), tuple(unstack(bq)), unstack(q), unstack(v),
+            unstack(target), friction, mass_scale, m_eff_n, m_eff_t,
+            ground_fn=ground_fn,
+        )
+        out = (
+            jnp.stack(bp2, -1), jnp.stack(bq2, -1), jnp.stack(q2, -1),
+            jnp.stack(v2, -1), jnp.stack(tau, -1),
+            pn, jnp.stack(pt, 0),
+        )
+        return out, None
+
+    init = (
+        state.base_pos, state.base_quat, state.joint_q, state.v,
+        jnp.zeros((N, nj)), jnp.zeros((m.ncp, N)), jnp.zeros((2, m.ncp, N)),
+    )
+    (bp, bq, q, v, tau, pn, pt), _ = jax.lax.scan(
+        substep, init, None, length=decimation
+    )
+    new_state = eng.PhysicsState(base_pos=bp, base_quat=bq, joint_q=q, v=v)
+
+    # post-loop refresh (engine.control_step tail)
+    R_w, p_w, E_up, v_b = soa.fk_s(
+        m, tuple(bp[:, i] for i in range(3)), tuple(bq[:, i] for i in range(4)),
+        [q[:, j] for j in range(nj)], [v[:, k] for k in range(nv)],
+    )
+    rb_pos, rb_vel = soa.rb_states_s(m, R_w, p_w, v_b)
+    cf = soa.cf_rb_s(m, pn, (pt[0], pt[1]), sim_dt, (N,))
+    aux = {
+        "torques": tau,
+        "cf_rb": jnp.stack([jnp.stack(r, -1) for r in cf], 1),
+        "rb_pos_w": jnp.stack([jnp.stack(p, -1) for p in rb_pos], 1),
+        "rb_vel_w": jnp.stack([jnp.stack(u, -1) for u in rb_vel], 1),
+    }
+    return new_state, aux
+
+
+def control_step(model, cparams, pd, sim_dt, decimation, state, target,
+                 friction, mass_scale, m_eff_n, m_eff_t, ground_fn=None,
+                 backend="auto"):
+    """Dispatch. ``auto``: Pallas on TPU for flat ground and tile-able batch,
+    SoA-XLA otherwise."""
+    if backend == "auto":
+        N = state.joint_q.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and ground_fn is None and _pallas_batch_ok(N):
+            backend = "pallas"
+        else:
+            backend = "soa"
+    if backend == "pallas":
+        from unitree_rl_gym_tpu.physics import pallas_step
+        return pallas_step.control_step_pallas(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, m_eff_n, m_eff_t,
+        )
+    if backend == "soa":
+        return control_step_soa(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
+        )
+    return control_step_vmap(
+        model, cparams, pd, sim_dt, decimation, state, target,
+        friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
+    )
+
+
+def _pallas_batch_ok(N: int) -> bool:
+    # Pallas path: tileable batch, single device (multi-chip training shards
+    # the env axis under pjit; a bare pallas_call has no partitioning rule,
+    # so sharded runs take the SoA-XLA path until a shard_map wrapper lands).
+    return N % 256 == 0 and jax.device_count() == 1

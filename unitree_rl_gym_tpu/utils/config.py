@@ -212,6 +212,9 @@ class SimCfg:
     substeps: int = 1
     gravity: List[float] = _l(0.0, 0.0, -9.81)
     up_axis: int = 1
+    # physics backend: "auto" (fused Pallas kernel on TPU + flat ground,
+    # batched SoA XLA otherwise), or force "pallas" | "soa" | "vmap"
+    backend: str = "auto"
     # penalty-contact solver constants (TPU-native replacement for the
     # reference's PhysX block, legged_robot_config.py:231-242)
     contact_stiffness: float = 10_000.0
