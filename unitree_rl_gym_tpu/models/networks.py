@@ -34,13 +34,17 @@ class MLP(nn.Module):
     hidden_dims: Sequence[int]
     out_dim: int
     activation: str = "elu"
+    dtype: str = "float32"   # matmul/activation compute dtype; params fp32
 
     @nn.compact
     def __call__(self, x):
         act = _ACTIVATIONS[self.activation]
+        dt = jnp.dtype(self.dtype)
+        x = x.astype(dt)
         for h in self.hidden_dims:
-            x = act(nn.Dense(h)(x))
-        return nn.Dense(self.out_dim)(x)
+            x = act(nn.Dense(h, dtype=dt, param_dtype=jnp.float32)(x))
+        out = nn.Dense(self.out_dim, dtype=dt, param_dtype=jnp.float32)(x)
+        return out.astype(jnp.float32)
 
 
 class ActorCritic(nn.Module):
@@ -54,11 +58,13 @@ class ActorCritic(nn.Module):
     critic_hidden_dims: Sequence[int] = (512, 256, 128)
     activation: str = "elu"
     init_noise_std: float = 1.0
+    dtype: str = "float32"
 
     def setup(self):
         self.actor = MLP(self.actor_hidden_dims, self.num_actions,
-                         self.activation)
-        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+                         self.activation, self.dtype)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation,
+                          self.dtype)
         self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
@@ -91,15 +97,23 @@ class LSTMEncoder(nn.Module):
 
     hidden_size: int
     num_layers: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, carry):
         new_carry = []
+        dt = jnp.dtype(self.dtype)
         for i in range(self.num_layers):
-            cell = nn.OptimizedLSTMCell(self.hidden_size, name=f"lstm_{i}")
+            cell = nn.OptimizedLSTMCell(
+                self.hidden_size, dtype=dt, param_dtype=jnp.float32,
+                name=f"lstm_{i}",
+            )
             c, x = cell(carry[i], x)
             new_carry.append(c)
-        return x, tuple(new_carry)
+        # carry stays fp32 across steps (rollout scan carry dtype stability)
+        new_carry = jax.tree.map(lambda h: h.astype(jnp.float32),
+                                 tuple(new_carry))
+        return x.astype(jnp.float32), new_carry
 
 
 class ActorCriticRecurrent(nn.Module):
@@ -114,13 +128,17 @@ class ActorCriticRecurrent(nn.Module):
     init_noise_std: float = 0.8
     rnn_hidden_size: int = 64
     rnn_num_layers: int = 1
+    dtype: str = "float32"
 
     def setup(self):
-        self.memory_a = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers)
-        self.memory_c = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers)
+        self.memory_a = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers,
+                                    self.dtype)
+        self.memory_c = LSTMEncoder(self.rnn_hidden_size, self.rnn_num_layers,
+                                    self.dtype)
         self.actor = MLP(self.actor_hidden_dims, self.num_actions,
-                         self.activation)
-        self.critic = MLP(self.critic_hidden_dims, 1, self.activation)
+                         self.activation, self.dtype)
+        self.critic = MLP(self.critic_hidden_dims, 1, self.activation,
+                          self.dtype)
         self.log_std = self.param(
             "log_std",
             lambda key: jnp.full((self.num_actions,),
@@ -201,6 +219,7 @@ def build_network(policy_cfg, num_actions):
             init_noise_std=policy_cfg.init_noise_std,
             rnn_hidden_size=policy_cfg.rnn_hidden_size,
             rnn_num_layers=policy_cfg.rnn_num_layers,
+            dtype=getattr(policy_cfg, "dtype", "float32"),
         )
     return ActorCritic(
         num_actions=num_actions,
@@ -208,4 +227,5 @@ def build_network(policy_cfg, num_actions):
         critic_hidden_dims=tuple(policy_cfg.critic_hidden_dims),
         activation=policy_cfg.activation,
         init_noise_std=policy_cfg.init_noise_std,
+        dtype=getattr(policy_cfg, "dtype", "float32"),
     )

@@ -206,7 +206,9 @@ class OnPolicyRunner:
         closure like the reference's exported stateful module
         (helpers.py:163-182)."""
         params = self.train_state.params
-        net = self.net
+        # inference/export is always fp32 (the deploy stack is fp32; the
+        # bf16 compute dtype is a training-throughput knob only)
+        net = self.net.clone(dtype="float32")
         carry_holder = {"carry": None}
 
         @jax.jit

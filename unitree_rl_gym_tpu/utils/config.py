@@ -253,6 +253,9 @@ class PolicyCfg:
     actor_hidden_dims: List[int] = _l(512, 256, 128)
     critic_hidden_dims: List[int] = _l(512, 256, 128)
     activation: str = "elu"
+    # matmul compute dtype (params + losses stay fp32). bfloat16 runs the
+    # MXU at full rate; set "float32" for exact-reproducibility studies.
+    dtype: str = "bfloat16"
     # only for ActorCriticRecurrent:
     rnn_type: str = "lstm"
     rnn_hidden_size: int = 64
