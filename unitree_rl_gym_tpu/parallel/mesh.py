@@ -58,6 +58,41 @@ def replicate(tree, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)), tree)
 
 
+# ---------------------------------------------------------------------------
+# ambient env mesh
+#
+# The physics backend dispatch (physics/backend.py) cannot see sharding at
+# trace time, so components that shard the env axis register the mesh here;
+# the dispatcher then routes the batch through the Pallas kernel under
+# ``jax.shard_map`` (one kernel instance per chip, env block local).
+# ---------------------------------------------------------------------------
+
+_ENV_MESH: Optional[Mesh] = None
+
+
+def set_env_mesh(mesh: Optional[Mesh]):
+    global _ENV_MESH
+    _ENV_MESH = mesh
+
+
+def get_env_mesh() -> Optional[Mesh]:
+    return _ENV_MESH
+
+
+def auto_mesh() -> Optional[Mesh]:
+    """The ("env",) mesh over all chips when there is more than one TPU
+    device (or UTRL_SHARD_ENVS=1 forces it, e.g. CPU-faked pods in tests);
+    None on a single chip."""
+    import os
+
+    force = os.environ.get("UTRL_SHARD_ENVS") == "1"
+    if jax.device_count() > 1 and (
+        force or jax.default_backend() == "tpu"
+    ):
+        return make_mesh()
+    return None
+
+
 def distributed_initialize_if_needed():
     """Multi-host entry (SURVEY.md §5.8): initialize jax.distributed from
     standard cluster env vars when launched on more than one process."""

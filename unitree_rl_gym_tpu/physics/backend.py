@@ -108,15 +108,32 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
 def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                  friction, mass_scale, m_eff_n, m_eff_t, ground_fn=None,
                  backend="auto"):
-    """Dispatch. ``auto``: Pallas on TPU for flat ground and tile-able batch,
-    SoA-XLA otherwise."""
+    """Dispatch. ``auto``: Pallas on TPU for flat ground and tile-able batch
+    (under ``shard_map`` when the env axis is sharded over a registered
+    mesh, parallel/mesh.py), SoA-XLA otherwise."""
+    from unitree_rl_gym_tpu.parallel import mesh as pmesh
+
+    N = state.joint_q.shape[0]
+    mesh = pmesh.get_env_mesh()
     if backend == "auto":
-        N = state.joint_q.shape[0]
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and ground_fn is None and _pallas_batch_ok(N):
-            backend = "pallas"
+        if on_tpu and ground_fn is None:
+            if mesh is not None and mesh.size > 1:
+                backend = (
+                    "pallas_shmap" if (N // mesh.size) % 256 == 0 else "soa"
+                )
+            elif jax.device_count() == 1 and N % 256 == 0:
+                backend = "pallas"
+            else:
+                backend = "soa"
         else:
             backend = "soa"
+    if backend == "pallas_shmap":
+        from unitree_rl_gym_tpu.physics import pallas_step
+        return pallas_step.control_step_pallas_sharded(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, m_eff_n, m_eff_t, mesh=mesh,
+        )
     if backend == "pallas":
         from unitree_rl_gym_tpu.physics import pallas_step
         return pallas_step.control_step_pallas(
@@ -132,10 +149,3 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
         model, cparams, pd, sim_dt, decimation, state, target,
         friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
     )
-
-
-def _pallas_batch_ok(N: int) -> bool:
-    # Pallas path: tileable batch, single device (multi-chip training shards
-    # the env axis under pjit; a bare pallas_call has no partitioning rule,
-    # so sharded runs take the SoA-XLA path until a shard_map wrapper lands).
-    return N % 256 == 0 and jax.device_count() == 1

@@ -121,8 +121,12 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
 
 
 def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
-                        target, friction, mass_scale, m_eff_n, m_eff_t):
-    """Pallas-backed drop-in for engine.control_step over the whole batch."""
+                        target, friction, mass_scale, m_eff_n, m_eff_t,
+                        interpret=False):
+    """Pallas-backed drop-in for engine.control_step over the whole batch.
+
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (CPU-testable; also via env UTRL_PALLAS_INTERPRET=1)."""
     from unitree_rl_gym_tpu.physics import backend as pb
     m = pb.soa_model_for(model)
 
@@ -179,6 +183,9 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         decimation,
     )
     flops_per_env = 60_000 * decimation
+    import os
+
+    interpret = interpret or os.environ.get("UTRL_PALLAS_INTERPRET") == "1"
     outs = pl.pallas_call(
         kern,
         grid=(N // BE,),
@@ -193,6 +200,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
             bytes_accessed=sum(int(np.prod(a.shape)) * 4 for a in inputs) * 2,
             transcendentals=200 * decimation * N,
         ),
+        interpret=interpret,
     )(*inputs)
 
     bp, bq, q, v, tau, cf, rbp, rbv = outs
@@ -209,3 +217,31 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         "rb_vel_w": _from_tiles(rbv, N).reshape(N, nrb, 3),
     }
     return new_state, aux
+
+
+def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
+                                state, target, friction, mass_scale,
+                                m_eff_n, m_eff_t, mesh, interpret=False):
+    """The fused kernel under ``jax.shard_map`` over the ("env",) mesh: one
+    kernel instance per chip on its local env block (parallel/mesh.py). All
+    batched operands ride PartitionSpec("env"); there is no cross-chip
+    traffic inside the step (envs are independent), so this composes with
+    pjit'd training exactly like the XLA SoA path but at kernel speed."""
+    from jax.sharding import PartitionSpec as P
+
+    es = P("env")
+
+    def local_step(state, target, friction, mass_scale):
+        return control_step_pallas(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
+        )
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(es, es, es, es),
+        out_specs=(es, es),
+        check_vma=False,
+    )
+    return fn(state, target, friction, mass_scale)

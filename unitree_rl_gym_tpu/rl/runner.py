@@ -53,6 +53,17 @@ class OnPolicyRunner:
         key = jax.random.PRNGKey(train_cfg.seed)
         self.train_state = self.alg.init(key, env.num_obs, critic_obs_dim)
 
+        # multi-chip env-batch data parallelism (SURVEY.md §2.3): shard the
+        # env axis over the ("env",) mesh, replicate params; XLA inserts the
+        # psum gradient collectives inside the jitted train iteration.
+        from unitree_rl_gym_tpu.parallel import mesh as pmesh
+
+        self.mesh = pmesh.auto_mesh()
+        if self.mesh is not None:
+            pmesh.set_env_mesh(self.mesh)
+            self.train_state = pmesh.replicate(self.train_state, self.mesh)
+            print(f"[runner] env axis sharded over {self.mesh.size} devices")
+
         self._iter_fn = jax.jit(
             lambda ts, es, obs, cobs, carry: self.alg.train_iteration(
                 self.env, ts, es, obs, cobs, carry
@@ -78,6 +89,19 @@ class OnPolicyRunner:
                 state.priv_obs if state.priv_obs is not None else obs
             )
             self._carry = self.net.initial_carry(self.env.num_envs)
+            if self.mesh is not None:
+                from unitree_rl_gym_tpu.parallel import mesh as pmesh
+
+                self._env_state = pmesh.shard_env_state(
+                    self._env_state, self.mesh
+                )
+                es = pmesh.env_sharding(self.mesh)
+                self._obs = jax.device_put(self._obs, es)
+                self._critic_obs = jax.device_put(self._critic_obs, es)
+                if self._carry is not None:
+                    self._carry = pmesh.shard_env_state(
+                        self._carry, self.mesh
+                    )
 
     def learn(self, num_learning_iterations: int,
               init_at_random_ep_len: bool = False):

@@ -9,6 +9,11 @@ from unitree_rl_gym_tpu.utils import helpers
 def train(args):
     helpers.apply_platform(args)
     from unitree_rl_gym_tpu.envs.registry import task_registry
+    from unitree_rl_gym_tpu.parallel.mesh import (
+        distributed_initialize_if_needed,
+    )
+
+    distributed_initialize_if_needed()
 
     env, env_cfg = task_registry.make_env(name=args.task, args=args)
     runner, train_cfg = task_registry.make_alg_runner(
