@@ -102,6 +102,15 @@ def build_robot(
         armature=float(armature),
         dof_damping=jnp.asarray(p.dof_damping, dtype),
         dof_friction=jnp.asarray(p.dof_friction, dtype),
+        dof_vel_limit=jnp.asarray(
+            np.where(p.dof_velocity > 0, p.dof_velocity, np.inf), dtype
+        ),
+        dof_lower=jnp.asarray(
+            np.where(p.dof_upper > p.dof_lower, p.dof_lower, -np.inf), dtype
+        ),
+        dof_upper=jnp.asarray(
+            np.where(p.dof_upper > p.dof_lower, p.dof_upper, np.inf), dtype
+        ),
         rb_dyn_idx=jnp.asarray(p.rb_dyn_idx),
         rb_rot=jnp.asarray(p.rb_rot, dtype),
         rb_pos=jnp.asarray(p.rb_pos, dtype),

@@ -53,6 +53,16 @@ class DynModel:
     armature: float                # rotor inertia added to joint diagonal
     dof_damping: jnp.ndarray       # [nj] passive viscous damping (URDF)
     dof_friction: jnp.ndarray      # [nj] passive dry friction (URDF)
+    dof_vel_limit: jnp.ndarray     # [nj] max joint velocity (URDF); PhysX
+                                   # clamps articulation joint velocities to
+                                   # the dof_props limit each step — without
+                                   # this the explicit integrator can pump
+                                   # contact energy into unbounded qd
+                                   # (inf entries = unlimited)
+    dof_lower: jnp.ndarray         # [nj] hard joint limits (URDF); PhysX
+    dof_upper: jnp.ndarray         # enforces them as constraints — here a
+                                   # projection: clamp q, zero qd into the
+                                   # limit (inf entries = unlimited)
     # report bodies / contact points
     rb_dyn_idx: jnp.ndarray        # [nrb]
     rb_rot: jnp.ndarray            # [nrb, 3, 3]

@@ -97,10 +97,24 @@ def control_step(
             v_free, m_eff_n, m_eff_t, friction_env, sim_dt,
             ground_fn=ground_fn,
         )
+        # PhysX clamps joint velocities to the dof_props limit
+        # (legged_robot.py:457-464 captures it from gym); required for
+        # stability — without it contact impulses can pump unbounded qd.
+        v_new = v_new.at[6:].set(
+            jnp.clip(v_new[6:], -model.dof_vel_limit, model.dof_vel_limit)
+        )
 
         bp, bq, q, _ = dyn.integrate(
             model, s.base_pos, s.base_quat, s.joint_q, v_new, jnp.zeros_like(v_new), sim_dt
         )
+        # hard joint limits (PhysX constraint ≈ projection): clamp q and
+        # zero the velocity component driving into the limit
+        q_c = jnp.clip(q, model.dof_lower, model.dof_upper)
+        qd = v_new[6:]
+        qd = jnp.where(q < model.dof_lower, jnp.maximum(qd, 0.0), qd)
+        qd = jnp.where(q > model.dof_upper, jnp.minimum(qd, 0.0), qd)
+        v_new = v_new.at[6:].set(qd)
+        q = q_c
         new = PhysicsState(base_pos=bp, base_quat=bq, joint_q=q, v=v_new)
         # last-substep torques/contacts ride the carry (stacking per-substep
         # outputs just to take [-1] would write decimation x the data)

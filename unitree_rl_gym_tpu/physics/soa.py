@@ -194,6 +194,9 @@ class SoAModel:
     armature: float
     dof_damping: Tuple[float, ...]
     dof_friction: Tuple[float, ...]
+    dof_vel_limit: Tuple[float, ...]
+    dof_lower: Tuple[float, ...]
+    dof_upper: Tuple[float, ...]
     gravity: Tuple[float, float, float]
     base_mass: float
     # contact points (sorted by cp_dyn)
@@ -239,6 +242,11 @@ def build_soa_model(model: dyn.DynModel) -> SoAModel:
         armature=float(model.armature),
         dof_damping=tuple(float(d) for d in np.asarray(model.dof_damping)),
         dof_friction=tuple(float(f) for f in np.asarray(model.dof_friction)),
+        dof_vel_limit=tuple(
+            float(v) for v in np.asarray(model.dof_vel_limit)
+        ),
+        dof_lower=tuple(float(v) for v in np.asarray(model.dof_lower)),
+        dof_upper=tuple(float(v) for v in np.asarray(model.dof_upper)),
         gravity=_f3(np.asarray(model.gravity)),
         base_mass=float(model.base_mass),
         cp_slice=tuple(
@@ -829,6 +837,13 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
         pconsts=pconsts,
     )
 
+    # PhysX-parity joint velocity clamp (engine.control_step has the same):
+    # bounds the energy the explicit contact solve can pump into qd.
+    for j in range(m.nj):
+        lim = m.dof_vel_limit[j]
+        if np.isfinite(lim):
+            v_new[6 + j] = jnp.clip(v_new[6 + j], -lim, lim)
+
     # integrate (dynamics.integrate): semi-implicit, old-quat frames
     R0 = R_w[0]
     om_w = m33_vec(R0, (v_new[0], v_new[1], v_new[2]))
@@ -836,6 +851,18 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
     bp = tuple(_add(bp[i], _mul(sim_dt, vel_w[i])) for i in range(3))
     bq = quat_integrate_s(bq, om_w, sim_dt)
     q = [_add(q[j], _mul(sim_dt, v_new[6 + j])) for j in range(m.nj)]
+
+    # hard joint limits (PhysX constraint ≈ projection; engine.control_step
+    # has the same): clamp q, zero qd into the limit
+    for j in range(m.nj):
+        lo, up = m.dof_lower[j], m.dof_upper[j]
+        if not (np.isfinite(lo) or np.isfinite(up)):
+            continue
+        qd = v_new[6 + j]
+        qd = jnp.where(q[j] < lo, jnp.maximum(qd, 0.0), qd)
+        qd = jnp.where(q[j] > up, jnp.minimum(qd, 0.0), qd)
+        v_new[6 + j] = qd
+        q[j] = jnp.clip(q[j], lo, up)
     return bp, bq, q, v_new, tau, pn, pt
 
 
