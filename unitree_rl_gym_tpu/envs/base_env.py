@@ -343,7 +343,26 @@ class LeggedEnv:
 
     def reset_all(self, key, init_at_random_ep_len: bool = False):
         """Reset every env; returns (state, obs). Mirrors BaseTask.reset()
-        = reset all + one zero-action step (base_task.py:82-86)."""
+        = reset all + one zero-action step (base_task.py:82-86).
+
+        Jitted (cached per ``init_at_random_ep_len``): the trailing step()
+        is a huge fused program; running it eagerly would dispatch thousands
+        of single-primitive compiles."""
+        cache = getattr(self, "_reset_jit_cache", None)
+        if cache is None:
+            cache = self._reset_jit_cache = {}
+        fn = cache.get(init_at_random_ep_len)
+        if fn is None:
+            from functools import partial
+
+            fn = jax.jit(partial(
+                self._reset_all_impl,
+                init_at_random_ep_len=init_at_random_ep_len,
+            ))
+            cache[init_at_random_ep_len] = fn
+        return fn(key)
+
+    def _reset_all_impl(self, key, init_at_random_ep_len: bool = False):
         N = self.num_envs
         nj = self.robot.num_dof
         key, k_reset, k_fric, k_bucket, k_mass, k_len, k_lvl = (
