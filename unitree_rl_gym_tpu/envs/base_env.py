@@ -84,9 +84,17 @@ class LeggedEnv:
 
     def __init__(self, cfg: LeggedRobotCfg, robot: Optional[Robot] = None):
         self.cfg = cfg
+        contact_bodies = None
+        if cfg.asset.prune_contact_bodies:
+            contact_bodies = (
+                [cfg.asset.foot_name]
+                + list(cfg.asset.penalize_contacts_on)
+                + list(cfg.asset.terminate_after_contacts_on)
+            )
         self.robot = robot or build_robot(
             resource(cfg.asset.file), armature=cfg.asset.armature,
             gravity=tuple(cfg.sim.gravity),
+            contact_bodies=contact_bodies,
         )
         r = self.robot
         self.num_envs = cfg.env.num_envs

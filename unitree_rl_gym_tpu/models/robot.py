@@ -77,12 +77,15 @@ def build_robot(
     armature: float = 0.0,
     gravity=(0.0, 0.0, -9.81),
     dtype=jnp.float32,
+    contact_bodies=None,
 ) -> Robot:
     """Parse ``urdf_path`` and freeze it into device constants.
 
     ``armature`` mirrors Isaac Gym's asset option (h1_2_config.py:88).
+    ``contact_bodies`` optionally restricts contact-point emission (see
+    :func:`~unitree_rl_gym_tpu.models.urdf.parse_urdf`).
     """
-    p = parse_urdf(urdf_path)
+    p = parse_urdf(urdf_path, contact_bodies=contact_bodies)
     I_sp = np.zeros((p.nb, 6, 6))
     for i in range(p.nb):
         I_sp[i] = np.asarray(

@@ -220,12 +220,22 @@ def _parse_xml(path: str) -> Tuple[str, Dict[str, _Link], List[_Joint]]:
     return robot.attrib.get("name", "robot"), links, joints
 
 
-def parse_urdf(path: str, armature: float = 0.0) -> ParsedRobot:
+def parse_urdf(path: str, armature: float = 0.0,
+               contact_bodies: Optional[List[str]] = None) -> ParsedRobot:
     """Parse a URDF into a :class:`ParsedRobot`.
 
     ``armature`` is the per-dof rotor inertia added on the mass-matrix
     diagonal (Isaac Gym ``asset_options.armature``; the reference sets 1e-3
     for H1_2, ``h1_2_config.py:88``) — stored by the caller, not here.
+
+    ``contact_bodies``: optional substring filter — contact points are
+    emitted only for links whose name matches (same substring rule as
+    :meth:`ParsedRobot.match_bodies`). The env layer passes the union of
+    foot/penalized/termination bodies, the only bodies whose contact
+    forces any consumer reads; this mirrors the reference's own trimming
+    of training collision geometry (legged_gym/envs/h1_2/README.md:3-13
+    keeps collision on foot-roll/knee/base only) and bounds the contact
+    solver's size/VMEM footprint. ``None`` keeps every collision geom.
     """
     name, links, joints = _parse_xml(path)
 
@@ -362,6 +372,10 @@ def parse_urdf(path: str, armature: float = 0.0) -> ParsedRobot:
         """Emit contact points for all of a link's collision geoms. Mesh
         geoms resolve through the collision_points.json cache (built by
         mesh_approx.generate_cache) or, failing that, an inertia-matched box."""
+        if contact_bodies is not None and not any(
+            s in link.name for s in contact_bodies
+        ):
+            return
         has_mesh = any(g.kind == "mesh" for g in link.geoms)
         for g in link.geoms:
             if g.kind != "mesh":

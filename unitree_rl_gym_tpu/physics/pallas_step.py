@@ -33,11 +33,35 @@ from unitree_rl_gym_tpu.physics import engine as eng
 from unitree_rl_gym_tpu.physics import soa
 
 
-def _pick_block(N: int) -> int:
-    for be in (1024, 512, 256):
-        if N % be == 0:
-            return be
-    raise ValueError(f"pallas physics backend needs N % 256 == 0, got {N}")
+BLOCK_ENVS = 1024   # env block: (8, 128) fp32 tiles are the minimum legal block
+
+
+def _vmem_rows(m) -> int:
+    """Rough count of live (8, 128) scalar tiles in the kernel: state
+    in/out + targets, contact-solver carries/intermediates (~4 rows per
+    point), per-body outputs. The x3 live-intermediate factor in
+    _fits_vmem is calibrated against G1 @ BE=1024 (17.35 MB scoped vmem
+    measured when the 6*ncp point constants were also broadcast tiles)."""
+    return 4 * m.ncp + 9 * m.nrb + 4 * m.nj + 2 * m.nv + 32
+
+
+def _fits_vmem(m) -> bool:
+    return 3 * _vmem_rows(m) * BLOCK_ENVS * 4 <= 15 * 1024 * 1024
+
+
+def supports(N: int, m) -> bool:
+    """Whether the fused kernel can run this batch/model (backend.py's
+    auto dispatch falls back to the XLA SoA program otherwise)."""
+    return N % BLOCK_ENVS == 0 and _fits_vmem(m)
+
+
+def _pick_block(N: int, m) -> int:
+    if not supports(N, m):
+        raise ValueError(
+            f"pallas physics backend needs N % {BLOCK_ENVS} == 0 and a model "
+            f"that fits VMEM (N={N}, est rows={_vmem_rows(m)})"
+        )
+    return BLOCK_ENVS
 
 
 def _to_tiles(a, N):
@@ -131,7 +155,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     m = pb.soa_model_for(model)
 
     N = state.joint_q.shape[0]
-    BE = _pick_block(N)
+    BE = _pick_block(N, m)
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
 
     kp = [float(x) for x in pd.kp]
@@ -141,14 +165,16 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     met = np.asarray(m_eff_t)[m.cp_perm]
 
     lanes = BE // 8
-    # point constants broadcast to one env block (same for every block)
+    # point constants as (6*ncp, 1, 1): Pallas kernels can't capture array
+    # constants, but a full-array block with unit tile dims is legal and
+    # broadcasts against the (8, lanes) env tiles inside the kernel — vs a
+    # pre-broadcast (6*ncp, 8, lanes) input this keeps G1's 176-point model
+    # ~4 MB under the 16 MB scoped-VMEM limit.
     pc_rows = np.concatenate(
         [m.cp_pos[:, 0], m.cp_pos[:, 1], m.cp_pos[:, 2],
          m.cp_radius, men, met]
     ).astype(np.float32)                                  # [6*ncp]
-    pc = jnp.asarray(
-        np.broadcast_to(pc_rows[:, None, None], (6 * ncp, 8, lanes))
-    )
+    pc = jnp.asarray(pc_rows[:, None, None])
 
     inputs = [
         _to_tiles(state.base_pos, N),
@@ -168,7 +194,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 
     in_specs = [spec(a.shape[0]) for a in inputs[:-1]] + [
         pl.BlockSpec(
-            (6 * ncp, 8, lanes), lambda i: (0, 0, 0),
+            (6 * ncp, 1, 1), lambda i: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
     ]

@@ -51,6 +51,7 @@ def play(args):
     logger = Logger(env.dt)
     state, obs = env.reset_all(jax.random.PRNGKey(0))
     step = jax.jit(env.step)
+    falls = 0
     for i in range(NUM_STEPS):
         actions = policy(obs)
         state, obs, _, rew, done, extras = step(state, actions)
@@ -64,7 +65,23 @@ def play(args):
                 },
                 n_resets,
             )
+        if i > NUM_STEPS // 5:       # skip the settle-in window
+            v = np.asarray(jax.device_get(state.phys.v))
+            cmd = np.asarray(jax.device_get(state.commands))
+            logger.log_states({
+                "abs_vx_tracking_err": np.abs(v[:, 3] - cmd[:, 0]).mean(),
+                "abs_vy_tracking_err": np.abs(v[:, 4] - cmd[:, 1]).mean(),
+                "abs_yaw_rate_err": np.abs(v[:, 2] - cmd[:, 2]).mean(),
+                "base_height": np.asarray(
+                    jax.device_get(state.phys.base_pos[:, 2])
+                ).mean(),
+            })
+            falls += int(np.asarray(jax.device_get(
+                done & ~extras["time_outs"]
+            )).sum())
     logger.print_rewards()
+    logger.print_states()
+    print(f"Non-timeout terminations: {falls}")
 
 
 if __name__ == "__main__":

@@ -124,6 +124,13 @@ class AssetCfg:
     max_linear_velocity: float = 1000.0
     armature: float = 0.0
     thickness: float = 0.01
+    # Restrict contact-point emission to the bodies whose contact forces
+    # the env actually reads (feet + penalize_contacts_on +
+    # terminate_after_contacts_on). Mirrors the reference's trimming of
+    # training collision geometry (envs/h1_2/README.md:3-13) and bounds
+    # the contact solver / Pallas VMEM footprint. False keeps every
+    # collision geom in the URDF.
+    prune_contact_bodies: bool = True
 
 
 @dataclass

@@ -37,3 +37,14 @@ class Logger:
             mean = np.sum(np.array(values)) / max(self.num_episodes, 1)
             print(f" - {key}: {mean}")
         print(f"Total number of episodes: {self.num_episodes}")
+
+    def print_states(self):
+        """Aggregate tracking/state series logged via log_states (the
+        reference plots these, utils/logger.py:13-31; headless TPU hosts
+        get the numeric summary instead)."""
+        if not self.state_log:
+            return
+        print("State summary (mean over logged steps):")
+        for key, values in self.state_log.items():
+            arr = np.asarray(values, dtype=np.float64)
+            print(f" - {key}: mean {arr.mean():.4f}  std {arr.std():.4f}")
