@@ -38,6 +38,26 @@ def test_sim2sim_g1_golden_policy_walks():
     assert stats["mean_height"] > 0.6, stats
 
 
+def test_sim2sim_g1_own_trained_policy_walks():
+    """Our own TPU-trained G1 policy (checked in under resources/pre_train,
+    trained by scripts/train.py --task=g1 for the reference's 10k
+    iterations and exported by scripts/play.py) must walk in MuJoCo — the
+    end-to-end Train -> Export -> Sim2Sim acceptance of SURVEY.md §4."""
+    from unitree_rl_gym_tpu.deploy.deploy_mujoco.deploy_mujoco import (
+        load_config, run,
+    )
+
+    cfg = load_config(_cfg_path("g1.yaml"))
+    cfg["policy_path"] = os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "resources/pre_train/g1/policy_lstm_1.pt",
+    )
+    stats = run(cfg, headless=True, max_steps=2500)  # 5 s sim
+    assert not stats["fell"], stats
+    assert stats["distance_x"] > 1.0, stats          # 0.5 m/s command
+    assert stats["mean_height"] > 0.6, stats
+
+
 def test_mujoco_scenes_load():
     import mujoco
 

@@ -131,6 +131,8 @@ class LeggedEnv:
         )
         self.cparams = ct.ContactParams(
             terrain_friction=cfg.terrain.static_friction,
+            max_angular_velocity=cfg.asset.max_angular_velocity,
+            max_linear_velocity=cfg.asset.max_linear_velocity,
         )
         # soft dof-pos limits (legged_robot.py:466-469)
         m = (r.dof_lower + r.dof_upper) / 2

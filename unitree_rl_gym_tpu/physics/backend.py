@@ -118,11 +118,15 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu and ground_fn is None:
+            from unitree_rl_gym_tpu.physics import pallas_step
+
+            m = soa_model_for(model)
             if mesh is not None and mesh.size > 1:
                 backend = (
-                    "pallas_shmap" if (N // mesh.size) % 256 == 0 else "soa"
+                    "pallas_shmap"
+                    if pallas_step.supports(N // mesh.size, m) else "soa"
                 )
-            elif jax.device_count() == 1 and N % 256 == 0:
+            elif jax.device_count() == 1 and pallas_step.supports(N, m):
                 backend = "pallas"
             else:
                 backend = "soa"

@@ -47,6 +47,13 @@ class ContactParams:
     terrain_friction: float = 1.0            # plane material friction
     restitution: float = 0.0
     relaxation: float = 1.0                  # SOR factor on impulse deltas
+    # PhysX rigid-body velocity caps (asset options the reference sets to
+    # 1000, legged_robot_config.py:141-142). Applied to the base every
+    # substep: keeps a diverging contact state finite in fp32 (an
+    # unbounded velocity reaches inf within a few steps and then the
+    # friction-cone projection produces inf*0 = NaN, poisoning params).
+    max_angular_velocity: float = 1000.0
+    max_linear_velocity: float = 1000.0
 
 
 def point_kinematics(model: dyn.DynModel, R_w, p_w, v_b):

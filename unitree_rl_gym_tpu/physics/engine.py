@@ -103,6 +103,16 @@ def control_step(
         v_new = v_new.at[6:].set(
             jnp.clip(v_new[6:], -model.dof_vel_limit, model.dof_vel_limit)
         )
+        # PhysX rigid-body velocity caps on the base (ContactParams doc):
+        # prevents fp32 overflow -> NaN in diverging contact states.
+        v_new = v_new.at[:3].set(
+            jnp.clip(v_new[:3], -cparams.max_angular_velocity,
+                     cparams.max_angular_velocity)
+        )
+        v_new = v_new.at[3:6].set(
+            jnp.clip(v_new[3:6], -cparams.max_linear_velocity,
+                     cparams.max_linear_velocity)
+        )
 
         bp, bq, q, _ = dyn.integrate(
             model, s.base_pos, s.base_quat, s.joint_q, v_new, jnp.zeros_like(v_new), sim_dt

@@ -154,8 +154,13 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     from unitree_rl_gym_tpu.physics import backend as pb
     m = pb.soa_model_for(model)
 
+    import os
+
+    interpret = interpret or os.environ.get("UTRL_PALLAS_INTERPRET") == "1"
     N = state.joint_q.shape[0]
-    BE = _pick_block(N, m)
+    # interpret mode (CPU tests) has no (8,128) tile constraint — run the
+    # whole batch as one block so small test batches work.
+    BE = N if (interpret and N % 8 == 0) else _pick_block(N, m)
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
 
     kp = [float(x) for x in pd.kp]
@@ -209,9 +214,6 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         decimation,
     )
     flops_per_env = 60_000 * decimation
-    import os
-
-    interpret = interpret or os.environ.get("UTRL_PALLAS_INTERPRET") == "1"
     outs = pl.pallas_call(
         kern,
         grid=(N // BE,),

@@ -843,6 +843,17 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
         lim = m.dof_vel_limit[j]
         if np.isfinite(lim):
             v_new[6 + j] = jnp.clip(v_new[6 + j], -lim, lim)
+    # PhysX rigid-body velocity caps on the base (ContactParams doc):
+    # prevents fp32 overflow -> NaN in diverging contact states.
+    for k in range(3):
+        v_new[k] = jnp.clip(
+            v_new[k], -params.max_angular_velocity,
+            params.max_angular_velocity,
+        )
+        v_new[3 + k] = jnp.clip(
+            v_new[3 + k], -params.max_linear_velocity,
+            params.max_linear_velocity,
+        )
 
     # integrate (dynamics.integrate): semi-implicit, old-quat frames
     R0 = R_w[0]

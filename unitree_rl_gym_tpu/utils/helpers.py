@@ -45,7 +45,9 @@ def get_load_path(root, load_run=-1, checkpoint=-1):
             f for f in os.listdir(load_run)
             if "model" in f and f.endswith(".ckpt")
         ]
-        models.sort(key=lambda m: "{0:0>15}".format(m))
+        # numeric sort on the iteration (the reference's zero-pad string
+        # trick, helpers.py:88, breaks once filename lengths differ)
+        models.sort(key=lambda m: int(m.split("_")[1].split(".")[0]))
         model = models[-1]
     else:
         model = f"model_{checkpoint}.ckpt"
