@@ -58,6 +58,25 @@ def test_sim2sim_g1_own_trained_policy_walks():
     assert stats["mean_height"] > 0.6, stats
 
 
+def test_sim2sim_h1_own_trained_policy_walks():
+    """Our own TPU-trained H1 policy (scripts/train.py --task=h1, 10k
+    iterations, exported by scripts/play.py) must walk in MuJoCo — the
+    end-to-end Train -> Export -> Sim2Sim acceptance of SURVEY.md §4."""
+    from unitree_rl_gym_tpu.deploy.deploy_mujoco.deploy_mujoco import (
+        load_config, run,
+    )
+
+    cfg = load_config(_cfg_path("h1.yaml"))
+    cfg["policy_path"] = os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "resources/pre_train/h1/policy_lstm_1.pt",
+    )
+    stats = run(cfg, headless=True, max_steps=2500)  # 5 s sim
+    assert not stats["fell"], stats
+    assert stats["distance_x"] > 1.0, stats          # 0.5 m/s command
+    assert stats["mean_height"] > 0.9, stats
+
+
 def test_mujoco_scenes_load():
     import mujoco
 
