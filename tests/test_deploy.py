@@ -77,6 +77,25 @@ def test_sim2sim_h1_own_trained_policy_walks():
     assert stats["mean_height"] > 0.9, stats
 
 
+def test_sim2sim_h1_2_own_trained_policy_walks():
+    """Our own TPU-trained H1_2 policy (scripts/train.py --task=h1_2, 10k
+    iterations at 400 Hz sim / decimation 8, exported by scripts/play.py)
+    must walk in MuJoCo."""
+    from unitree_rl_gym_tpu.deploy.deploy_mujoco.deploy_mujoco import (
+        load_config, run,
+    )
+
+    cfg = load_config(_cfg_path("h1_2.yaml"))
+    cfg["policy_path"] = os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "resources/pre_train/h1_2/policy_lstm_1.pt",
+    )
+    stats = run(cfg, headless=True, max_steps=2500)  # 5 s sim
+    assert not stats["fell"], stats
+    assert stats["distance_x"] > 1.0, stats          # 0.5 m/s command
+    assert stats["mean_height"] > 0.9, stats
+
+
 def test_mujoco_scenes_load():
     import mujoco
 
