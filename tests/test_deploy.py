@@ -251,3 +251,47 @@ def test_controller_obs_layout_matches_training():
     )
     # gravity (upright) ~ [0,0,-1]
     np.testing.assert_allclose(obs[3:6], [0, 0, -1], atol=1e-6)
+
+
+def test_obs_layout_single_source():
+    """deploy/obs_layout.py is the single obs-table source: segment offsets
+    are the reference layout (deploy_mujoco.py:94-117) and the checked-in
+    C++ header is exactly what the generator emits."""
+    from unitree_rl_gym_tpu.deploy import obs_layout
+
+    seg = obs_layout.layout_for(47, 12)
+    assert (seg.ang_vel, seg.gravity, seg.command) == (0, 3, 6)
+    assert (seg.dof_pos, seg.dof_vel, seg.last_action) == (9, 21, 33)
+    assert seg.with_phase and seg.phase == 45 and seg.num_obs == 47
+    # H1: 10 actions, 41 obs
+    seg_h1 = obs_layout.layout_for(41, 10)
+    assert seg_h1.num_obs == 41 and seg_h1.phase == 39
+    # go2's 48-dim training obs is NOT this layout
+    with pytest.raises(ValueError):
+        obs_layout.layout_for(48, 12)
+
+    gen = os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "unitree_rl_gym_tpu", "deploy", "cpp", "obs_layout.gen.h",
+    )
+    with open(gen) as f:
+        assert f.read() == obs_layout.emit_cpp_header()
+
+
+def test_build_obs_fills_every_slot():
+    from unitree_rl_gym_tpu.deploy import obs_layout
+
+    seg = obs_layout.layout_for(47, 12)
+    out = np.full(47, np.nan, dtype=np.float32)
+    obs_layout.build_obs(
+        seg, out,
+        ang_vel=[1, 2, 3], gravity=[0, 0, -1], command=[4, 5, 6],
+        dof_pos=np.arange(12), dof_vel=np.arange(12) * 2,
+        last_action=np.arange(12) * 3, phase_t=0.2,
+    )
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out[:3], [1, 2, 3])
+    np.testing.assert_allclose(out[9:21], np.arange(12))
+    np.testing.assert_allclose(out[33:45], np.arange(12) * 3)
+    # phase_t=0.2 of a 0.8 s period -> quarter phase: sin=1, cos=0
+    np.testing.assert_allclose(out[45:47], [1.0, 0.0], atol=1e-6)

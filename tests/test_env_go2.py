@@ -41,6 +41,19 @@ def test_step_shapes_and_finiteness(env, state_obs):
     assert np.all(np.isfinite(np.asarray(rew)))
 
 
+def test_extras_episode_schema(env, state_obs):
+    """rsl_rl-compatible extras schema (legged_robot.py:758-768):
+    extras["episode"]["rew_<term>"] per-term means and extras["time_outs"]."""
+    state, _ = state_obs
+    _, _, _, _, _, extras = env.step(state, jnp.zeros((8, 12)))
+    assert "episode" in extras and "time_outs" in extras
+    ep = extras["episode"]
+    for name in env.episode_term_names:
+        assert f"rew_{name}" in ep
+        assert np.isfinite(float(ep[f"rew_{name}"]))
+    assert extras["time_outs"].shape == (8,)
+
+
 def test_fixed_seed_determinism(env):
     """BASELINE.json bit-consistency requirement: same seed, same traces."""
     s1, o1 = env.reset_all(jax.random.PRNGKey(42))

@@ -7,6 +7,7 @@
 #include <stdexcept>
 
 #include "crc32.h"
+#include "obs_layout.gen.h"
 
 namespace utrl {
 
@@ -232,23 +233,29 @@ bool Controller::run_once() {
   cmd_[1] = -rc.lx;
   cmd_[2] = -rc.rx;
 
-  const double period = 0.8;
+  // Observation assembly via the shared layout table (obs_layout.gen.h,
+  // generated from deploy/obs_layout.py — the same source the Python
+  // deploy paths and the exporter's policy_meta.json use).
+  const ObsLayout lay{na, /*with_phase=*/true};
   const double t = counter_ * cfg_.control_dt;
-  const double phase = std::fmod(t, period) / period;
+  const double phase =
+      std::fmod(t, static_cast<double>(ObsLayout::kPhasePeriodS)) /
+      ObsLayout::kPhasePeriodS;
 
   for (int i = 0; i < 3; ++i) {
-    obs_[i] = s.imu_state.gyroscope[i] * cfg_.ang_vel_scale;
-    obs_[3 + i] = grav[i];
-    obs_[6 + i] = cmd_[i] * cfg_.cmd_scale[i] * cfg_.max_cmd[i];
+    obs_[lay.ang_vel() + i] = s.imu_state.gyroscope[i] * cfg_.ang_vel_scale;
+    obs_[lay.gravity() + i] = grav[i];
+    obs_[lay.command() + i] = cmd_[i] * cfg_.cmd_scale[i] * cfg_.max_cmd[i];
   }
   for (int i = 0; i < na; ++i) {
     const auto& ms = s.motor_state[cfg_.leg_joint2motor_idx[i]];
-    obs_[9 + i] = (ms.q - cfg_.default_angles[i]) * cfg_.dof_pos_scale;
-    obs_[9 + na + i] = ms.dq * cfg_.dof_vel_scale;
-    obs_[9 + 2 * na + i] = action_[i];
+    obs_[lay.dof_pos() + i] =
+        (ms.q - cfg_.default_angles[i]) * cfg_.dof_pos_scale;
+    obs_[lay.dof_vel() + i] = ms.dq * cfg_.dof_vel_scale;
+    obs_[lay.last_action() + i] = action_[i];
   }
-  obs_[9 + 3 * na] = static_cast<float>(std::sin(2 * M_PI * phase));
-  obs_[9 + 3 * na + 1] = static_cast<float>(std::cos(2 * M_PI * phase));
+  obs_[lay.phase()] = static_cast<float>(std::sin(2 * M_PI * phase));
+  obs_[lay.phase() + 1] = static_cast<float>(std::cos(2 * M_PI * phase));
 
   action_ = policy_(obs_);
   for (int i = 0; i < na; ++i)

@@ -26,6 +26,7 @@ import numpy as np
 import yaml
 
 from unitree_rl_gym_tpu import UNITREE_RL_GYM_TPU_ROOT_DIR, resource
+from unitree_rl_gym_tpu.deploy import obs_layout
 
 
 def get_gravity_orientation(quaternion):
@@ -95,6 +96,7 @@ def run(config: dict, headless: bool = True, max_steps: int | None = None,
     action = np.zeros(num_actions, dtype=np.float32)
     target_dof_pos = default_angles.copy()
     obs = np.zeros(num_obs, dtype=np.float32)
+    obs_segments = obs_layout.layout_for(num_obs, num_actions)
 
     m = mujoco.MjModel.from_xml_path(config["xml_path"])
     d = mujoco.MjData(m)
@@ -125,26 +127,18 @@ def run(config: dict, headless: bool = True, max_steps: int | None = None,
 
             counter += 1
             if counter % control_decimation == 0:
-                qj = (d.qpos[7:] - default_angles) * dof_pos_scale
-                dqj = d.qvel[6:] * dof_vel_scale
                 quat = d.qpos[3:7]          # wxyz (MuJoCo)
-                omega = d.qvel[3:6] * ang_vel_scale
-                gravity_orientation = get_gravity_orientation(quat)
-
-                period = 0.8
-                count = counter * simulation_dt
-                phase = count % period / period
-                sin_phase = np.sin(2 * np.pi * phase)
-                cos_phase = np.cos(2 * np.pi * phase)
-
-                obs[:3] = omega
-                obs[3:6] = gravity_orientation
-                obs[6:9] = cmd * cmd_scale
-                obs[9:9 + num_actions] = qj
-                obs[9 + num_actions:9 + 2 * num_actions] = dqj
-                obs[9 + 2 * num_actions:9 + 3 * num_actions] = action
-                obs[9 + 3 * num_actions:9 + 3 * num_actions + 2] = (
-                    sin_phase, cos_phase,
+                # shared deploy obs layout (deploy/obs_layout.py — same
+                # table as deploy_real and the C++ controller)
+                obs_layout.build_obs(
+                    obs_segments, obs,
+                    ang_vel=d.qvel[3:6] * ang_vel_scale,
+                    gravity=get_gravity_orientation(quat),
+                    command=cmd * cmd_scale,
+                    dof_pos=(d.qpos[7:] - default_angles) * dof_pos_scale,
+                    dof_vel=d.qvel[6:] * dof_vel_scale,
+                    last_action=action,
+                    phase_t=counter * simulation_dt,
                 )
                 action = np.asarray(policy(obs.copy()), dtype=np.float32)
                 target_dof_pos = action * action_scale + default_angles

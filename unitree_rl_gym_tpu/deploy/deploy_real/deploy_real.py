@@ -32,6 +32,7 @@ from unitree_rl_gym_tpu.deploy.deploy_real.common.rotation_helper import (
     get_gravity_orientation,
     transform_imu_data,
 )
+from unitree_rl_gym_tpu.deploy import obs_layout
 from unitree_rl_gym_tpu.deploy.deploy_real.config import Config
 
 
@@ -57,6 +58,9 @@ class Controller:
         self.action = np.zeros(config.num_actions, dtype=np.float32)
         self.target_dof_pos = config.default_angles.copy()
         self.obs = np.zeros(config.num_obs, dtype=np.float32)
+        self.obs_segments = obs_layout.layout_for(
+            config.num_obs, config.num_actions
+        )
         self.cmd = np.array([0.0, 0.0, 0.0])
         self.counter = 0
 
@@ -186,25 +190,19 @@ class Controller:
         dqj_obs = self.dqj * cfg.dof_vel_scale
         ang_vel = np.asarray(ang_vel).reshape(-1)[:3] * cfg.ang_vel_scale
 
-        period = 0.8
-        count = self.counter * cfg.control_dt
-        phase = count % period / period
-        sin_phase = np.sin(2 * np.pi * phase)
-        cos_phase = np.cos(2 * np.pi * phase)
-
         self.cmd[0] = self.remote_controller.ly
         self.cmd[1] = self.remote_controller.lx * -1
         self.cmd[2] = self.remote_controller.rx * -1
 
-        na = cfg.num_actions
-        self.obs[:3] = ang_vel
-        self.obs[3:6] = gravity_orientation
-        self.obs[6:9] = self.cmd * cfg.cmd_scale * cfg.max_cmd
-        self.obs[9:9 + na] = qj_obs
-        self.obs[9 + na:9 + 2 * na] = dqj_obs
-        self.obs[9 + 2 * na:9 + 3 * na] = self.action
-        self.obs[9 + 3 * na] = sin_phase
-        self.obs[9 + 3 * na + 1] = cos_phase
+        # shared deploy obs layout (deploy/obs_layout.py — same table as
+        # the MuJoCo harness and the C++ controller)
+        obs_layout.build_obs(
+            self.obs_segments, self.obs,
+            ang_vel=ang_vel, gravity=gravity_orientation,
+            command=self.cmd * cfg.cmd_scale * cfg.max_cmd,
+            dof_pos=qj_obs, dof_vel=dqj_obs, last_action=self.action,
+            phase_t=self.counter * cfg.control_dt,
+        )
 
         self.action = np.asarray(
             self.policy(self.obs.copy()), dtype=np.float32

@@ -723,16 +723,30 @@ class LeggedEnv:
         )
 
         extras = {
+            # internal keys: raw sums so the PPO scan can aggregate across
+            # rollout steps without weighting errors (runner divides)
             "episode_sums_at_reset": ep_sums_at_reset,
             "episode_reset_count": reset_count,
             "episode_length_at_reset": ep_len_at_reset,
+            # rsl_rl-compatible schema (legged_robot.py:758-765): per-term
+            # episode-reward means of the envs reset THIS step, divided by
+            # episode length in seconds. Zero-filled when no env reset
+            # (the reference would emit NaN there; consumers skip those).
+            "episode": {
+                "rew_" + name: ep_sums_at_reset[i]
+                / jnp.maximum(reset_count, 1)
+                / self.max_episode_length_s
+                for i, name in enumerate(self.episode_term_names)
+            },
         }
         if self.terrain is not None and cfg.terrain.curriculum:
-            extras["terrain_level_mean"] = jnp.mean(
+            extras["episode"]["terrain_level"] = jnp.mean(
                 terrain_level.astype(jnp.float32)
             )
+            extras["terrain_level_mean"] = extras["episode"]["terrain_level"]
         if cfg.commands.curriculum:
             # extras["episode"]["max_command_x"] (legged_robot.py:764-765)
+            extras["episode"]["max_command_x"] = cmd_vx_range[1]
             extras["max_command_x"] = cmd_vx_range[1]
         if cfg.env.send_timeouts:
             extras["time_outs"] = time_out_buf

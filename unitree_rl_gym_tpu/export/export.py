@@ -50,6 +50,17 @@ def export_flat(runner, path: str):
         "rnn_num_layers": pc.rnn_num_layers,
         "is_recurrent": runner.net.is_recurrent,
     }
+    # record the deploy obs segment table when this policy uses the shared
+    # 50 Hz deploy layout (deploy/obs_layout.py) so consumers never have to
+    # hand-code offsets
+    try:
+        from unitree_rl_gym_tpu.deploy import obs_layout
+
+        meta["obs_layout"] = obs_layout.layout_for(
+            runner.env.num_obs, runner.env.num_actions
+        ).to_meta()
+    except ValueError:
+        meta["obs_layout"] = None  # task-specific layout (e.g. go2 48-dim)
     with open(os.path.join(path, "policy_meta.json"), "w") as f:
         json.dump(meta, f, indent=1)
     return meta

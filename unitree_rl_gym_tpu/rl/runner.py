@@ -74,6 +74,10 @@ class OnPolicyRunner:
         self._critic_obs = None
         self._carry = None
         self._writer = None
+        # reward-vs-iteration curve, dumped as curves.json next to the
+        # checkpoints so convergence is auditable without TensorBoard
+        # (BASELINE.md "matched reward-at-iteration curves")
+        self._curves = []
 
     # ------------------------------------------------------------------
 
@@ -170,6 +174,15 @@ class OnPolicyRunner:
             f"kl {float(metrics['kl']):.4f} | lr {float(metrics['lr']):.2e}"
         )
         print(msg, flush=True)
+        self._curves.append({
+            "it": it,
+            "mean_step_reward": round(float(metrics["mean_step_reward"]), 6),
+            "mean_episode_length": round(mean_ep_len, 2),
+            "value_loss": round(float(metrics["value_loss"]), 6),
+            "kl": round(float(metrics["kl"]), 6),
+            "fps": round(fps, 1),
+            "episode_rew": {k: round(v, 6) for k, v in ep_rews.items()},
+        })
         if self._writer is not None:
             w = self._writer
             for name, v in ep_rews.items():
@@ -202,6 +215,10 @@ class OnPolicyRunner:
         }
         with open(path + ".json", "w") as f:
             json.dump(meta, f, indent=1, default=str)
+        if self._curves and os.path.dirname(path):
+            with open(os.path.join(os.path.dirname(path),
+                                   "curves.json"), "w") as f:
+                json.dump(self._curves, f)
 
     def load(self, path: str, load_optimizer: bool = True):
         with open(path, "rb") as f:

@@ -48,6 +48,15 @@ def play(args):
         export_policy(runner, path)
         print("Exported policy to:", path)
 
+    # in-sim visualization + test-mode real-time pacing
+    # (reference base_task.py:63-115 viewer; legged_robot.py:631-635 pacing)
+    viewer = None
+    if getattr(args, "view", False):
+        from unitree_rl_gym_tpu.utils.viz import RolloutViewer
+        viewer = RolloutViewer(
+            args.task, env, realtime=env_cfg.env.test,
+        )
+
     logger = Logger(env.dt)
     state, obs = env.reset_all(jax.random.PRNGKey(0))
     step = jax.jit(env.step)
@@ -55,6 +64,8 @@ def play(args):
     for i in range(NUM_STEPS):
         actions = policy(obs)
         state, obs, _, rew, done, extras = step(state, actions)
+        if viewer is not None and not viewer.update(state):
+            break
         n_resets = int(jax.device_get(extras["episode_reset_count"]))
         if n_resets:
             ep_sums = jax.device_get(extras["episode_sums_at_reset"])
@@ -79,6 +90,8 @@ def play(args):
             falls += int(np.asarray(jax.device_get(
                 done & ~extras["time_outs"]
             )).sum())
+    if viewer is not None:
+        viewer.close()
     logger.print_rewards()
     logger.print_states()
     print(f"Non-timeout terminations: {falls}")

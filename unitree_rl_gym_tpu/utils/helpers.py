@@ -94,6 +94,10 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int)
     p.add_argument("--max_iterations", type=int)
     p.add_argument(
+        "--view", action="store_true", default=False,
+        help="replay the rollout in a MuJoCo passive viewer (play only)",
+    )
+    p.add_argument(
         "--platform", type=str, default=None,
         help="force a jax platform (cpu|tpu|axon); default = jax's choice",
     )
