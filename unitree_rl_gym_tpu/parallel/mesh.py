@@ -94,9 +94,31 @@ def auto_mesh() -> Optional[Mesh]:
 
 
 def distributed_initialize_if_needed():
-    """Multi-host entry (SURVEY.md §5.8): initialize jax.distributed from
-    standard cluster env vars when launched on more than one process."""
+    """Multi-host entry (SURVEY.md §5.8): initialize ``jax.distributed``
+    when launched as one process of a multi-process job.
+
+    Launch recipe (every process, same coordinator)::
+
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=K \\
+        JAX_PROCESS_ID=<k> python -m unitree_rl_gym_tpu.scripts.train ...
+
+    On cloud TPU pods the three variables are optional — with only
+    ``JAX_COORDINATOR_ADDRESS`` unset-but-cluster-detected environments
+    fall through to jax's auto-detection. Tested without TPUs by
+    ``tests/test_multihost.py`` (two CPU processes, 4 virtual devices
+    each, one PPO iteration with the env axis sharded across processes).
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if nproc is None:
+        jax.distributed.initialize()  # cluster auto-detection
+    else:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(nproc),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )

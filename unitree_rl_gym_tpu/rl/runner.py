@@ -110,6 +110,8 @@ class OnPolicyRunner:
     def learn(self, num_learning_iterations: int,
               init_at_random_ep_len: bool = False):
         self._ensure_env(init_at_random_ep_len)
+        if jax.process_index() != 0:
+            self.log_dir = None  # multi-host: only process 0 writes
         if self.log_dir and self._writer is None:
             try:
                 from torch.utils.tensorboard import SummaryWriter
