@@ -105,19 +105,41 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
     return new_state, aux
 
 
+def sample_point_heights(model, state, ground_fn):
+    """Per-contact-point ground heights [N, ncp] at step-start positions.
+
+    The terrain formulation of the Pallas path: run FK once in XLA, gather
+    the heightfield bilinearly (utils/terrain.py TerrainGrid.height_at) at
+    every point's world xy, and hand the kernel a dense operand — random
+    HBM access stays out of the kernel, heights are frozen for one control
+    step (pallas_step.py module docstring)."""
+    m = soa_model_for(model)
+    N = state.joint_q.shape[0]
+    bp = tuple(state.base_pos[:, i] for i in range(3))
+    bq = tuple(state.base_quat[:, i] for i in range(4))
+    q = [state.joint_q[:, j] for j in range(m.nj)]
+    v = [state.v[:, k] for k in range(m.nv)]
+    R_w, p_w, _, _ = soa.fk_s(m, bp, bq, q, v)
+    _, x_w = soa.point_world_positions_s(m, R_w, p_w)
+    gh = ground_fn(jnp.stack([x_w[0], x_w[1]], axis=-1))   # (ncp, N)
+    return jnp.transpose(gh)                               # [N, ncp]
+
+
 def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                  friction, mass_scale, m_eff_n, m_eff_t, ground_fn=None,
                  backend="auto"):
-    """Dispatch. ``auto``: Pallas on TPU for flat ground and tile-able batch
-    (under ``shard_map`` when the env axis is sharded over a registered
-    mesh, parallel/mesh.py), SoA-XLA otherwise."""
+    """Dispatch. ``auto``: Pallas on TPU for tile-able batches — flat
+    ground or heightfield terrain (heights pre-sampled in XLA, see
+    :func:`sample_point_heights`) — under ``shard_map`` when the env axis
+    is sharded over a registered mesh (parallel/mesh.py); SoA-XLA
+    otherwise."""
     from unitree_rl_gym_tpu.parallel import mesh as pmesh
 
     N = state.joint_q.shape[0]
     mesh = pmesh.get_env_mesh()
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu and ground_fn is None:
+        if on_tpu:
             from unitree_rl_gym_tpu.physics import pallas_step
 
             m = soa_model_for(model)
@@ -132,17 +154,21 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                 backend = "soa"
         else:
             backend = "soa"
-    if backend == "pallas_shmap":
+    if backend in ("pallas", "pallas_shmap"):
         from unitree_rl_gym_tpu.physics import pallas_step
-        return pallas_step.control_step_pallas_sharded(
-            model, cparams, pd, sim_dt, decimation, state, target,
-            friction, mass_scale, m_eff_n, m_eff_t, mesh=mesh,
+
+        gh = (
+            sample_point_heights(model, state, ground_fn)
+            if ground_fn is not None else None
         )
-    if backend == "pallas":
-        from unitree_rl_gym_tpu.physics import pallas_step
+        if backend == "pallas_shmap":
+            return pallas_step.control_step_pallas_sharded(
+                model, cparams, pd, sim_dt, decimation, state, target,
+                friction, mass_scale, m_eff_n, m_eff_t, mesh=mesh, gh=gh,
+            )
         return pallas_step.control_step_pallas(
             model, cparams, pd, sim_dt, decimation, state, target,
-            friction, mass_scale, m_eff_n, m_eff_t,
+            friction, mass_scale, m_eff_n, m_eff_t, gh=gh,
         )
     if backend == "soa":
         return control_step_soa(

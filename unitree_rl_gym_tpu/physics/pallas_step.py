@@ -14,8 +14,12 @@ BE=1024) and all the scalar SoA algebra of :mod:`physics.soa` lowers to
 full-width VPU ops. Contact-point quantities are ``(ncp, 8, BE//8)``.
 
 Grid: 1-D over env blocks; blocks are independent (env-parallel).
-Plane ground only (terrain heightfield lookups gather from HBM and stay on
-the XLA SoA backend).
+Terrain: the heightfield never enters the kernel — per-point ground
+heights are sampled once per control step in XLA (bilinear HBM gather at
+step-start point positions, backend.sample_point_heights) and passed as a
+dense (ncp, 8, BE//8) operand, frozen across the decimation loop. Points
+move O(v*dt*decimation) ~ 2 cm between samples, well inside the soft
+contact regime the Baumgarte stabilization absorbs.
 """
 
 from __future__ import annotations
@@ -39,10 +43,11 @@ BLOCK_ENVS = 1024   # env block: (8, 128) fp32 tiles are the minimum legal block
 def _vmem_rows(m) -> int:
     """Rough count of live (8, 128) scalar tiles in the kernel: state
     in/out + targets, contact-solver carries/intermediates (~4 rows per
-    point), per-body outputs. The x3 live-intermediate factor in
-    _fits_vmem is calibrated against G1 @ BE=1024 (17.35 MB scoped vmem
-    measured when the 6*ncp point constants were also broadcast tiles)."""
-    return 4 * m.ncp + 9 * m.nrb + 4 * m.nj + 2 * m.nv + 32
+    point) + the optional terrain gh input (1 row per point), per-body
+    outputs. The x3 live-intermediate factor in _fits_vmem is calibrated
+    against G1 @ BE=1024 (17.35 MB scoped vmem measured when the 6*ncp
+    point constants were also broadcast tiles)."""
+    return 5 * m.ncp + 9 * m.nrb + 4 * m.nj + 2 * m.nv + 32
 
 
 def _fits_vmem(m) -> bool:
@@ -80,9 +85,11 @@ def _from_tiles(t, N):
 
 
 def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
-            bp_ref, bq_ref, q_ref, v_ref, tgt_ref, fric_ref, mass_ref,
-            pc_ref,
-            obp, obq, oq, ov, otau, ocf, orbp, orbv):
+            has_gh, *refs):
+    (bp_ref, bq_ref, q_ref, v_ref, tgt_ref, fric_ref, mass_ref,
+     pc_ref) = refs[:8]
+    gh_ref = refs[8] if has_gh else None
+    (obp, obq, oq, ov, otau, ocf, orbp, orbv) = refs[8 + int(has_gh):]
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
     S = bp_ref.shape[1:]
 
@@ -104,13 +111,17 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
 
     zero = jnp.zeros(S, jnp.float32)
     zero_p = jnp.zeros((ncp,) + S, jnp.float32)
+    # terrain: per-point ground heights sampled once per control step
+    # outside the kernel (backend.sample_point_heights); frozen across the
+    # decimation loop (points move O(v*dt*decimation) ~ cm between samples)
+    gh = gh_ref[...] if has_gh else None
 
     def body(_, carry):
         bp, bq, q, v, _tau, _pn, _ptx, _pty = carry
         bp2, bq2, q2, v2, tau, pn, pt = soa.substep_s(
             m, params, kp, kd, lim, clip_torque, sim_dt,
             bp, bq, list(q), list(v), list(target), fric, mass,
-            None, None, ground_fn=None, pconsts=pconsts,
+            None, None, ground_fn=None, pconsts=pconsts, gh_frozen=gh,
         )
         return (
             tuple(bp2), tuple(bq2), tuple(q2), tuple(v2), tuple(tau),
@@ -146,11 +157,17 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
 
 def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
                         target, friction, mass_scale, m_eff_n, m_eff_t,
-                        interpret=False):
+                        interpret=False, gh=None):
     """Pallas-backed drop-in for engine.control_step over the whole batch.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter
-    (CPU-testable; also via env UTRL_PALLAS_INTERPRET=1)."""
+    (CPU-testable; also via env UTRL_PALLAS_INTERPRET=1).
+
+    ``gh``: [N, ncp] per-contact-point ground heights (terrain), sampled
+    once per control step at step-start point positions
+    (backend.sample_point_heights) and frozen across the decimation loop —
+    the TPU-friendly heightfield formulation: the bilinear HBM gather
+    happens in XLA outside the kernel, the kernel sees a dense operand."""
     from unitree_rl_gym_tpu.physics import backend as pb
     m = pb.soa_model_for(model)
 
@@ -191,18 +208,21 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         _to_tiles(mass_scale, N),
         pc,
     ]
+    has_gh = gh is not None
+    if has_gh:
+        inputs.append(_to_tiles(gh, N))          # (ncp, 8, N//8)
 
     def spec(k):
         return pl.BlockSpec(
             (k, 8, lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
 
-    in_specs = [spec(a.shape[0]) for a in inputs[:-1]] + [
+    in_specs = [spec(a.shape[0]) for a in inputs[:7]] + [
         pl.BlockSpec(
             (6 * ncp, 1, 1), lambda i: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    ]
+    ] + ([spec(ncp)] if has_gh else [])
     out_dims = [3, 4, nj, nv, nj, nrb * 3, nrb * 3, nrb * 3]
     out_shape = [
         jax.ShapeDtypeStruct((k, 8, N // 8), jnp.float32) for k in out_dims
@@ -211,7 +231,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 
     kern = partial(
         _kernel, m, cparams, kp, kd, lim, pd.clip_torque, sim_dt,
-        decimation,
+        decimation, has_gh,
     )
     flops_per_env = 60_000 * decimation
     outs = pl.pallas_call(
@@ -249,27 +269,42 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 
 def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
                                 state, target, friction, mass_scale,
-                                m_eff_n, m_eff_t, mesh, interpret=False):
+                                m_eff_n, m_eff_t, mesh, interpret=False,
+                                gh=None):
     """The fused kernel under ``jax.shard_map`` over the ("env",) mesh: one
     kernel instance per chip on its local env block (parallel/mesh.py). All
-    batched operands ride PartitionSpec("env"); there is no cross-chip
-    traffic inside the step (envs are independent), so this composes with
-    pjit'd training exactly like the XLA SoA path but at kernel speed."""
+    batched operands ride PartitionSpec("env") (including the optional
+    terrain heights ``gh`` [N, ncp], sampled globally in XLA); there is no
+    cross-chip traffic inside the step (envs are independent), so this
+    composes with pjit'd training exactly like the XLA SoA path but at
+    kernel speed."""
     from jax.sharding import PartitionSpec as P
 
     es = P("env")
 
-    def local_step(state, target, friction, mass_scale):
-        return control_step_pallas(
-            model, cparams, pd, sim_dt, decimation, state, target,
-            friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
-        )
+    if gh is None:
+        def local_step(state, target, friction, mass_scale):
+            return control_step_pallas(
+                model, cparams, pd, sim_dt, decimation, state, target,
+                friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
+            )
+        in_specs = (es, es, es, es)
+        args = (state, target, friction, mass_scale)
+    else:
+        def local_step(state, target, friction, mass_scale, gh):
+            return control_step_pallas(
+                model, cparams, pd, sim_dt, decimation, state, target,
+                friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
+                gh=gh,
+            )
+        in_specs = (es, es, es, es, es)
+        args = (state, target, friction, mass_scale, gh)
 
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(es, es, es, es),
+        in_specs=in_specs,
         out_specs=(es, es),
         check_vma=False,
     )
-    return fn(state, target, friction, mass_scale)
+    return fn(*args)

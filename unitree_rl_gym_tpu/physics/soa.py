@@ -643,6 +643,32 @@ def _scatter_sum(m: SoAModel, parr):
     return out
 
 
+def point_world_positions_s(m: SoAModel, R_w, p_w, rc_c=None):
+    """World contact-point kinematics from body FK: returns
+    (r_w, x_w) — 3-lists of ((ncp,)+S) world lever arms and point
+    positions. Shared by the contact solve and the external terrain
+    height sampler (backend.sample_point_heights) so both evaluate the
+    heightfield at identical coordinates."""
+    if rc_c is None:
+        S_ndim = p_w[0][0].ndim          # number of trailing batch dims
+        rc_c = [_pc(m.cp_pos[:, k], S_ndim) for k in range(3)]
+    r_w = []   # 3 x (ncp,)+S world lever arms  r_w = R_b @ rc per point
+    for i in range(3):
+        per_body = []
+        for b in range(m.nb):
+            s, e = m.cp_slice[b]
+            if e == s:
+                continue
+            piece = 0.0
+            for k in range(3):
+                piece = piece + rc_c[k][s:e] * R_w[b][i][k][None]
+            per_body.append(piece)
+        r_w.append(jnp.concatenate(per_body, axis=0))
+    pg = [_gather(m, [p_w[b][i] for b in range(m.nb)]) for i in range(3)]
+    x_w = [pg[i] + r_w[i] for i in range(3)]
+    return r_w, x_w
+
+
 def contact_solve_s(
     m: SoAModel,
     params,
@@ -658,9 +684,16 @@ def contact_solve_s(
     dt: float,
     ground_fn=None,
     pconsts=None,
+    gh_frozen=None,
 ):
     """PGS impulse solve (contact.contact_solve semantics). Returns
-    (v_new [nv scalars], pn (ncp,)+S, pt ((ncp,)+S x2))."""
+    (v_new [nv scalars], pn (ncp,)+S, pt ((ncp,)+S x2)).
+
+    ``gh_frozen``: pre-sampled per-point ground heights ((ncp,)+S), used
+    instead of calling ``ground_fn`` — the Pallas terrain path samples the
+    heightfield once per control step outside the kernel (backend.py) and
+    passes the result in (heights are frozen across the decimation loop;
+    see physics/pallas_step.py)."""
     L, rinv, pos = chol
     S_ndim = None
     for x in v:
@@ -689,21 +722,10 @@ def contact_solve_s(
         men = pconsts["men"]
         met = pconsts["met"]
 
-    r_w = []   # 3 x (ncp,)+S world lever arms  r_w = R_b @ rc per point
-    for i in range(3):
-        per_body = []
-        for b in range(m.nb):
-            s, e = m.cp_slice[b]
-            if e == s:
-                continue
-            piece = 0.0
-            for k in range(3):
-                piece = piece + rc_c[k][s:e] * R_w[b][i][k][None]
-            per_body.append(piece)
-        r_w.append(jnp.concatenate(per_body, axis=0))
-    pg = [_gather(m, [p_w[b][i] for b in range(m.nb)]) for i in range(3)]
-    x_w = [pg[i] + r_w[i] for i in range(3)]
-    if ground_fn is not None:
+    r_w, x_w = point_world_positions_s(m, R_w, p_w, rc_c)
+    if gh_frozen is not None:
+        gh = gh_frozen
+    elif ground_fn is not None:
         gh = ground_fn(jnp.stack([x_w[0], x_w[1]], axis=-1))
     else:
         gh = 0.0
@@ -801,7 +823,8 @@ def contact_solve_s(
 
 def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
               bp, bq, q, v, target, friction_env, mass_scale,
-              m_eff_n, m_eff_t, ground_fn=None, pconsts=None):
+              m_eff_n, m_eff_t, ground_fn=None, pconsts=None,
+              gh_frozen=None):
     """One physics substep (engine.control_step inner body). All args/returns
     are scalar lists / tuples; shapes ride along implicitly."""
     R_w, p_w, E_up, v_b = fk_s(m, bp, bq, q, v)
@@ -834,7 +857,7 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
     v_new, pn, pt = contact_solve_s(
         m, params, E_up, R_w, p_w, v_b, chol, v_free,
         m_eff_n, m_eff_t, friction_env, sim_dt, ground_fn=ground_fn,
-        pconsts=pconsts,
+        pconsts=pconsts, gh_frozen=gh_frozen,
     )
 
     # PhysX-parity joint velocity clamp (engine.control_step has the same):
