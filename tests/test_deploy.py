@@ -295,3 +295,62 @@ def test_build_obs_fills_every_slot():
     np.testing.assert_allclose(out[33:45], np.arange(12) * 3)
     # phase_t=0.2 of a 0.8 s period -> quarter phase: sin=1, cos=0
     np.testing.assert_allclose(out[45:47], [1.0, 0.0], atol=1e-6)
+
+
+def test_controller_go_dialect_h1_on_mock_transport():
+    """H1 uses the `go` DDS dialect (deploy_real.py:39-64): init command
+    carries PosStopF sentinels + weak-motor mode bits, obs is the 41-dim
+    H1 layout, and the run tick drives the 10 leg motors."""
+    from unitree_rl_gym_tpu.deploy.deploy_real.config import Config
+    from unitree_rl_gym_tpu.deploy.deploy_real.deploy_real import Controller
+    from unitree_rl_gym_tpu.deploy.deploy_real.transport import MockTransport
+    from unitree_rl_gym_tpu.deploy.deploy_real.common.remote_controller import (
+        KeyMap,
+    )
+
+    cfg = Config(os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR,
+        "unitree_rl_gym_tpu/deploy/deploy_real/configs/h1.yaml",
+    ))
+    assert cfg.msg_type == "go" and cfg.num_actions == 10
+    transport = MockTransport("go")
+    captured = {}
+
+    def spy_policy(obs):
+        captured["obs"] = obs.copy()
+        return np.zeros(cfg.num_actions)
+
+    ctrl = Controller(cfg, transport, policy=spy_policy,
+                      sleep=lambda dt: None)
+
+    # go-dialect init command: PosStopF sentinel on q, weak motors mode 1,
+    # strong motors mode 0x0A (command_helper.py:46-55)
+    init = ctrl.low_cmd
+    assert abs(init.motor_cmd[0].q - 2.146e9) < 1e3
+    assert init.motor_cmd[cfg.weak_motor[0]].mode == 1
+    strong = next(
+        i for i in range(20) if i not in cfg.weak_motor
+    )
+    assert init.motor_cmd[strong].mode == 0x0A
+
+    ticks = {"n": 0}
+
+    def sleep_and_press(dt):
+        ticks["n"] += 1
+        if ticks["n"] >= 2:
+            transport.set_buttons(1 << KeyMap.start)
+
+    ctrl.sleep = sleep_and_press
+    ctrl.zero_torque_state()
+    ctrl.sleep = lambda dt: None
+    ctrl.move_to_default_pos()
+
+    transport.set_buttons(0)
+    ctrl.run()
+    assert captured["obs"].shape == (41,)
+    cmd = transport.sent[-1]
+    assert cmd.crc != 0
+    for i, motor_idx in enumerate(cfg.leg_joint2motor_idx):
+        assert cmd.motor_cmd[motor_idx].kp == cfg.kps[i]
+    ctrl.damp()
+    assert all(m.kd == 8 for m in transport.sent[-1].motor_cmd)

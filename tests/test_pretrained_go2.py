@@ -1,0 +1,124 @@
+"""Acceptance tests for the checked-in Go2 and Go2-handstand policies.
+
+Closes the capability-parity evidence gap for the two quadruped tasks
+(the humanoids have MuJoCo sim2sim tests; Go2 has no MJCF scene in the
+reference assets, so acceptance is measured in-env with eval overrides —
+the same regime as scripts/play.py: noise/DR/pushes off):
+
+  * go2: commanded-velocity tracking error below threshold, positive
+    tracking_lin_vel episode reward, no non-timeout falls after settling
+  * go2_handstand: inversion (projected_gravity z > 0.8, i.e. the base
+    gravity vector flipped) held continuously for >= 5 s
+
+Skipped until ``resources/pre_train/{go2,go2_handstand}`` exist (they are
+produced on TPU by scripts/make_pretrain.py).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unitree_rl_gym_tpu import UNITREE_RL_GYM_TPU_ROOT_DIR
+from unitree_rl_gym_tpu.export.numpy_policy import NumpyPolicy
+
+N = 16
+
+
+def _artifact(task):
+    path = os.path.join(
+        UNITREE_RL_GYM_TPU_ROOT_DIR, "resources", "pre_train", task
+    )
+    if not os.path.exists(os.path.join(path, "policy_flat.npz")):
+        pytest.skip(f"no pretrained artifact for {task} (run make_pretrain)")
+    return path
+
+
+def _eval_env(task):
+    from unitree_rl_gym_tpu.envs.registry import task_registry
+
+    cfg, _ = task_registry.get_cfgs(task)
+    cfg.env.num_envs = N
+    cfg.noise.add_noise = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    cfg.domain_rand.push_robots = False
+    cfg.env.test = True
+    return task_registry.get_task_class(task)(cfg)
+
+
+def _rollout(env, policy, steps):
+    state, obs = env.reset_all(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    traj = []
+    for i in range(steps):
+        actions = jnp.asarray(policy(np.asarray(obs, np.float32)))
+        state, obs, _, rew, done, extras = step(state, actions)
+        traj.append((
+            np.asarray(state.phys.v),
+            np.asarray(state.commands),
+            np.asarray(jax.device_get(done & ~extras["time_outs"])),
+            np.asarray(jax.vmap(_pg)(state.phys.base_quat)),
+        ))
+    return state, traj
+
+
+def _pg(quat):
+    from unitree_rl_gym_tpu.utils import math as tm
+
+    return tm.quat_rotate_inverse(quat, jnp.asarray([0.0, 0.0, -1.0]))
+
+
+def test_go2_policy_tracks_commands():
+    path = _artifact("go2")
+    env = _eval_env("go2")
+    policy = NumpyPolicy(path)
+    _, traj = _rollout(env, policy, 400)
+
+    settle = len(traj) // 3
+    vx_err = np.mean([
+        np.abs(v[:, 3] - c[:, 0]).mean() for v, c, _, _ in traj[settle:]
+    ])
+    yaw_err = np.mean([
+        np.abs(v[:, 2] - c[:, 2]).mean() for v, c, _, _ in traj[settle:]
+    ])
+    falls = sum(d.sum() for _, _, d, _ in traj[settle:])
+    assert vx_err < 0.25, f"vx tracking error {vx_err:.3f}"
+    assert yaw_err < 0.4, f"yaw-rate tracking error {yaw_err:.3f}"
+    assert falls == 0, f"{falls} non-timeout terminations after settling"
+
+
+def test_go2_policy_positive_tracking_reward():
+    path = _artifact("go2")
+    env = _eval_env("go2")
+    policy = NumpyPolicy(path)
+    state, obs = env.reset_all(jax.random.PRNGKey(1))
+    step = jax.jit(env.step)
+    idx = env.episode_term_names.index("tracking_lin_vel")
+    for _ in range(300):
+        actions = jnp.asarray(policy(np.asarray(obs, np.float32)))
+        state, obs, _, _, _, _ = step(state, actions)
+    track = float(jnp.mean(state.episode_sums[:, idx]))
+    assert track > 0.0
+
+
+def test_handstand_policy_holds_inversion():
+    path = _artifact("go2_handstand")
+    env = _eval_env("go2_handstand")
+    policy = NumpyPolicy(path)
+    _, traj = _rollout(env, policy, 450)
+
+    # projected_gravity[:, 2] > 0.8 for >= 5 s (250 control steps at 50 Hz)
+    inv = np.stack([pg[:, 2] > 0.8 for _, _, _, pg in traj])  # [T, N]
+    best_run = np.zeros(N)
+    run = np.zeros(N)
+    for t in range(inv.shape[0]):
+        run = np.where(inv[t], run + 1, 0)
+        best_run = np.maximum(best_run, run)
+    held = best_run >= 250
+    assert held.mean() >= 0.75, (
+        f"only {held.sum()}/{N} envs held the handstand >= 5 s "
+        f"(best {best_run.max():.0f} steps)"
+    )
