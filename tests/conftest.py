@@ -22,19 +22,73 @@ jax.config.update("jax_enable_x64", False)
 
 # Persistent compilation cache: the suite compiles a handful of large fused
 # programs (env step, PPO iteration); caching them across runs/processes
-# cuts repeat wall-clock from ~25 min to ~2 min.
+# cuts repeat wall-clock from ~42 min to ~2 min. A pre-warmed cache for this
+# jaxlib (0.9.0, CPU backend, 8 virtual devices) is checked into .jax_cache/
+# so even a fresh checkout skips the big compiles.
 #
-# Cache WRITES are disabled by default: jaxlib 0.9.0's XLA:CPU
-# LoadedExecutable.serialize() intermittently segfaults/aborts on the large
-# training executables (observed twice, both times inside
-# compilation_cache.put_executable_and_time), killing the whole test run.
-# Reads of previously cached entries are unaffected. To warm the cache
-# deliberately, run once with UTRL_CACHE_WRITE=1 on an otherwise idle
-# machine.
+# jaxlib 0.9.0's XLA:CPU LoadedExecutable.serialize() intermittently
+# segfaults on the large training executables (observed twice, inside
+# compilation_cache.put_executable_and_time). To keep that crash from
+# killing the test run, cache WRITES are performed in a detached
+# grandchild process (double fork): the grandchild serializes the
+# executable and writes the entry atomically (temp file + rename); if it
+# segfaults or deadlocks (alarm(300) backstop), only the grandchild dies.
+# Set UTRL_CACHE_WRITE=0 to disable writes entirely.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs",
-    1.0 if os.environ.get("UTRL_CACHE_WRITE") == "1" else 1e9,
+    1e9 if os.environ.get("UTRL_CACHE_WRITE") == "0" else 1.0,
 )
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import signal  # noqa: E402
+
+import jax._src.compilation_cache as _cc  # noqa: E402
+
+
+def _forked_put_executable_and_time(
+    cache_key, module_name, executable, backend, compile_time
+):
+    try:
+        pid = os.fork()
+    except OSError:
+        return
+    if pid != 0:
+        os.waitpid(pid, 0)  # intermediate child exits immediately
+        return
+    # Intermediate child: fork again so the writer is reparented to init
+    # (no zombie, and subprocess-based tests never see its SIGCHLD).
+    try:
+        if os.fork() != 0:
+            os._exit(0)
+    except OSError:
+        os._exit(0)
+    # Grandchild: do the dangerous serialize + atomic write, then vanish.
+    try:
+        signal.alarm(300)  # backstop for fork-inherited-lock deadlocks
+        cache = _cc._get_cache(backend)
+        if cache is not None:
+            blob = _cc.compress_executable(
+                _cc.combine_executable_and_time(
+                    executable.serialize(), int(compile_time)
+                )
+            )
+            final = cache.path / f"{cache_key}-cache"
+            if not final.exists():
+                tmp = cache.path / f".{cache_key}.{os.getpid()}.tmp"
+                tmp.write_bytes(blob)
+                os.replace(tmp, final)
+    except BaseException:
+        pass
+    finally:
+        os._exit(0)
+
+
+_cc.put_executable_and_time = _forked_put_executable_and_time
+# The compiler module binds the name at call time via module attribute in
+# some versions and from-imports it in others; patch both.
+import jax._src.compiler as _compiler  # noqa: E402
+
+if hasattr(_compiler, "put_executable_and_time"):
+    _compiler.put_executable_and_time = _forked_put_executable_and_time

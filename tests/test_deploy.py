@@ -354,3 +354,41 @@ def test_controller_go_dialect_h1_on_mock_transport():
         assert cmd.motor_cmd[motor_idx].kp == cfg.kps[i]
     ctrl.damp()
     assert all(m.kd == 8 for m in transport.sent[-1].motor_cmd)
+
+
+def test_numpy_policy_batched_matches_single():
+    """Regression: NumpyPolicy once evaluated only row 0 of a batched obs
+    and broadcast that action to every env (which silently made batched
+    in-env evals degenerate — every robot ran env 0's action)."""
+    from unitree_rl_gym_tpu.export.numpy_policy import NumpyPolicy
+
+    rng = np.random.RandomState(3)
+
+    # MLP artifact (go2): batched call == row-by-row calls.
+    mlp = NumpyPolicy(
+        os.path.join(UNITREE_RL_GYM_TPU_ROOT_DIR,
+                     "resources", "pre_train", "go2")
+    )
+    obs = rng.randn(5, mlp.meta["num_obs"]).astype(np.float32)
+    batched = mlp(obs)
+    singles = np.stack([mlp(obs[i]) for i in range(5)])
+    assert batched.shape == (5, mlp.meta["num_actions"])
+    np.testing.assert_allclose(batched, singles, atol=1e-4)
+    assert not np.allclose(batched[0], batched[1])
+
+    # LSTM artifact (g1): batched stateful rollout == per-stream stateful
+    # rollouts (hidden state must be carried per batch row).
+    lstm = NumpyPolicy(
+        os.path.join(UNITREE_RL_GYM_TPU_ROOT_DIR,
+                     "resources", "pre_train", "g1")
+    )
+    T, B = 4, 3
+    seq = rng.randn(T, B, lstm.meta["num_obs"]).astype(np.float32)
+    lstm.reset_memory()
+    batched_tr = np.stack([lstm(seq[t]) for t in range(T)])
+    single_tr = np.empty_like(batched_tr)
+    for b in range(B):
+        lstm.reset_memory()
+        for t in range(T):
+            single_tr[t, b] = lstm(seq[t, b])
+    np.testing.assert_allclose(batched_tr, single_tr, atol=1e-4)

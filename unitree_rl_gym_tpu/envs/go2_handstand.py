@@ -90,11 +90,25 @@ class GO2HandstandEnv(LeggedEnv):
 
     def _check_termination(self, ctx):
         """illegal contact ∪ not-inverted ∪ timeout
-        (go2_handstand_env.py:178-219)."""
+        (go2_handstand_env.py:178-219).
+
+        Deviation from the reference, by necessity: the reference's
+        sideways band ``-0.2 < g_z < 0.2`` terminates unconditionally
+        (go2_handstand_env.py:211-212), but every episode starts upright
+        (g_z=-1) and any kick-up to inversion (g_z=+1) must cross that
+        band — as literally written the check makes the task unlearnable,
+        and the reference's own comment says to train with it disabled
+        first ("你也可以先关掉这条，等稳定了再打开").  We keep the check but
+        gate it behind a grace period (``cfg.env.fallen_grace_s``, default
+        1 s) so the kick-up is legal and only post-transition falls
+        terminate."""
         cf = ctx.contact_forces[:, self.termination_contact_indices, :]
         illegal = jnp.any(jnp.linalg.norm(cf, axis=-1) > 1.0, axis=1)
         cos_up = ctx.projected_gravity[:, 2]
         fallen = (cos_up > -0.2) & (cos_up < 0.2)
+        grace_s = getattr(self.cfg.env, "fallen_grace_s", 1.0)
+        grace_steps = int(round(grace_s / self.dt))
+        fallen = fallen & (ctx.episode_length > grace_steps)
         time_out = ctx.episode_length > self.max_episode_length
         return illegal | fallen | time_out, time_out
 

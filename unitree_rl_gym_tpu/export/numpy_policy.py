@@ -45,10 +45,19 @@ class NumpyPolicy:
 
     def reset_memory(self):
         if self.is_recurrent:
-            h = self.meta["rnn_hidden_size"]
-            n = self.meta["rnn_num_layers"]
-            self.hidden = [np.zeros(h, np.float32) for _ in range(n)]
-            self.cell = [np.zeros(h, np.float32) for _ in range(n)]
+            # Lazily (re)initialised to the caller's batch size on the
+            # next __call__ (single stream and batched eval both work).
+            self.hidden = None
+            self.cell = None
+
+    def _ensure_memory(self, batch):
+        h = self.meta["rnn_hidden_size"]
+        n = self.meta["rnn_num_layers"]
+        if self.hidden is None or self.hidden[0].shape[0] != batch:
+            self.hidden = [np.zeros((batch, h), np.float32)
+                           for _ in range(n)]
+            self.cell = [np.zeros((batch, h), np.float32)
+                         for _ in range(n)]
 
     def _mlp(self, prefix, x):
         act = _ACTS[self.meta["activation"]]
@@ -86,9 +95,10 @@ class NumpyPolicy:
     def __call__(self, obs: np.ndarray) -> np.ndarray:
         x = np.asarray(obs, np.float32)
         squeeze = x.ndim == 1
-        if not squeeze:
-            x = x[0]
+        if squeeze:
+            x = x[None]
         if self.is_recurrent:
+            self._ensure_memory(x.shape[0])
             x = self._lstm_step(x)
         a = self._mlp("actor", x)
-        return a if squeeze else a[None]
+        return a[0] if squeeze else a
