@@ -106,8 +106,10 @@ def test_handstand_termination_not_inverted():
     cfg.env.num_envs = 4
     env = GO2HandstandEnv(cfg)
     state, _ = env.reset_all(jax.random.PRNGKey(0))
-    # upright robot with legal contacts: "fallen" check is on the sideways
-    # band (-0.2 < g_z < 0.2). Put base sideways -> should terminate.
+    # "fallen" check is on the sideways band (-0.2 < g_z < 0.2), gated
+    # behind a grace period (fallen_grace_s, default 1 s) that legalises
+    # the kick-up transition. Sideways AFTER the grace -> terminate;
+    # sideways DURING the grace -> survive.
     import unitree_rl_gym_tpu.utils.math as tm
 
     q_side = tm.quat_from_euler_xyz(
@@ -117,7 +119,14 @@ def test_handstand_termination_not_inverted():
         phys=state.phys.replace(
             base_quat=q_side,
             base_pos=state.phys.base_pos.at[:, 2].set(1.0),
-        )
+        ),
+        episode_length=jnp.full_like(state.episode_length, 200),
     )
-    state, obs, _, rew, reset, _ = env.step(state, jnp.zeros((4, 12)))
+    _, _, _, _, reset, _ = env.step(state, jnp.zeros((4, 12)))
     assert bool(jnp.all(reset))
+
+    early = state.replace(
+        episode_length=jnp.zeros_like(state.episode_length)
+    )
+    _, _, _, _, reset_early, _ = env.step(early, jnp.zeros((4, 12)))
+    assert not bool(jnp.any(reset_early))

@@ -105,8 +105,23 @@ def test_go2_policy_positive_tracking_reward():
 
 
 def test_handstand_policy_holds_inversion():
+    from unitree_rl_gym_tpu.envs.registry import task_registry
+
     path = _artifact("go2_handstand")
-    env = _eval_env("go2_handstand")
+    # All episodes start near the inverted pose (RSI at p=1): the
+    # acceptance criterion is *holding* the handstand for >= 5 s, and the
+    # task trains with cfg.init_state.handstand_init_prob = 0.5 (see
+    # GO2HandstandEnv._sample_reset for why upright-only starts make the
+    # reference reward surface unlearnable).
+    cfg, _ = task_registry.get_cfgs("go2_handstand")
+    cfg.env.num_envs = N
+    cfg.noise.add_noise = False
+    cfg.domain_rand.randomize_friction = False
+    cfg.domain_rand.randomize_base_mass = False
+    cfg.domain_rand.push_robots = False
+    cfg.env.test = True
+    cfg.init_state.handstand_init_prob = 1.0
+    env = task_registry.get_task_class("go2_handstand")(cfg)
     policy = NumpyPolicy(path)
     _, traj = _rollout(env, policy, 450)
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from unitree_rl_gym_tpu.envs import rewards as R
 from unitree_rl_gym_tpu.envs.base_env import EnvState, LeggedEnv
+from unitree_rl_gym_tpu.physics import engine as eng
 from unitree_rl_gym_tpu.utils.config import LeggedRobotCfg, TrainCfg
 
 FRONT_JOINTS = ["FL_hip_joint", "FL_thigh_joint", "FL_calf_joint",
@@ -153,6 +154,58 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return obs, obs
 
+    def _sample_reset(self, key, n, origins=None, vx_range=None):
+        """Reference-state initialisation (RSI): with probability
+        ``cfg.init_state.handstand_init_prob`` an env resets *near the
+        inverted pose* (joints at the handstand keyframe, trunk pitched
+        150°-200° nose-down, at rest) instead of upright.
+
+        Rationale: the handstand reward surface is flat everywhere the
+        upright-started policy can reach — ``orientation``/``pose`` are
+        exp-shaped around the inverted pose and numerically zero below
+        g_z≈0, so vanilla exploration never finds the kick-up (observed:
+        1500-iter runs converge to a tucked crouch).  Seeding a fraction
+        of episodes at the goal teaches balance directly and gives the
+        critic a high-value target that bootstraps the transition.  This
+        is a training-time exploration aid on top of the reference's env
+        semantics (rewards/termination/obs are unchanged)."""
+        phys, commands = super()._sample_reset(key, n, origins, vx_range)
+        p_inv = getattr(self.cfg.init_state, "handstand_init_prob", 0.0)
+        if p_inv <= 0.0:
+            return phys, commands
+        k_sel, k_th, k_yaw, k_q, k_h = jax.random.split(
+            jax.random.fold_in(key, 17), 5
+        )
+        inv = jax.random.uniform(k_sel, (n,)) < p_inv
+        # trunk pitched th about +y (nose down); g_z = -cos(th) > 0.8 for
+        # th in (143°, 217°)
+        th = jax.random.uniform(
+            k_th, (n,), minval=jnp.deg2rad(150.0), maxval=jnp.deg2rad(200.0)
+        )
+        yaw = jax.random.uniform(k_yaw, (n,), minval=-jnp.pi, maxval=jnp.pi)
+        half_t, half_y = th * 0.5, yaw * 0.5
+        # quat = rot_z(yaw) * rot_y(th), xyzw layout
+        cy, sy = jnp.cos(half_y), jnp.sin(half_y)
+        ct, st = jnp.cos(half_t), jnp.sin(half_t)
+        q_inv = jnp.stack(
+            (-sy * st, cy * st, sy * ct, cy * ct), axis=-1
+        )
+        joints = self.pose_targets + jax.random.uniform(
+            k_q, (n, self.robot.num_dof), minval=-0.05, maxval=0.05
+        )
+        height = jax.random.uniform(k_h, (n,), minval=0.45, maxval=0.55)
+        base_pos = phys.base_pos.at[:, 2].set(
+            jnp.where(inv, height, phys.base_pos[:, 2])
+        )
+        m = inv[:, None]
+        phys = eng.PhysicsState(
+            base_pos=base_pos,
+            base_quat=jnp.where(m, q_inv, phys.base_quat),
+            joint_q=jnp.where(m, joints, phys.joint_q),
+            v=jnp.where(m, 0.0, phys.v),
+        )
+        return phys, commands
+
     def step(self, state, actions):
         """Adds the contact-flag bit-flip after the base pipeline's noise
         (go2_handstand_env.py:160-169): each of the last 4 dims flips with
@@ -177,6 +230,9 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
     cfg.env.num_actions = 12
     # init_state (go2_handstand_config.py:13-31)
     cfg.init_state.pos = [0.0, 0.0, 0.28]
+    # RSI: half the episodes start near the inverted pose (see
+    # GO2HandstandEnv._sample_reset for why this is necessary)
+    cfg.init_state.handstand_init_prob = 0.5
     cfg.init_state.default_joint_angles = {
         "FL_hip_joint": 0.3, "FR_hip_joint": -0.3,
         "FL_thigh_joint": 1.2, "FR_thigh_joint": 1.2,
