@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
+from unitree_rl_gym_tpu.envs import curricula
 from unitree_rl_gym_tpu.envs import rewards as R
 from unitree_rl_gym_tpu.models.robot import Robot, build_robot
 from unitree_rl_gym_tpu.physics import contact as ct
@@ -590,55 +591,18 @@ class LeggedEnv:
         terrain_level = state.terrain_level
         env_origin = state.env_origin
         if self.terrain is not None and cfg.terrain.curriculum:
-            # ETH legged_gym terrain curriculum: promote envs that crossed
-            # half the sub-terrain, demote envs that walked less than half
-            # of what the command asked for; graduates get a random row.
-            tcfg = cfg.terrain
-            dist = jnp.linalg.norm(
-                phys.base_pos[:, :2] - state.env_origin[:, :2], axis=1
-            )
-            move_up = dist > tcfg.terrain_length / 2.0
-            move_down = (
-                dist
-                < jnp.linalg.norm(commands[:, :2], axis=1)
-                * self.max_episode_length_s * 0.5
-            ) & ~move_up
-            new_level = terrain_level + move_up.astype(jnp.int32) - (
-                move_down.astype(jnp.int32)
-            )
-            rand_level = jax.random.randint(
-                k_lvl, (N,), 0, tcfg.num_rows
-            )
-            new_level = jnp.where(
-                new_level >= tcfg.num_rows, rand_level,
-                jnp.maximum(new_level, 0),
-            )
-            terrain_level = jnp.where(m, new_level, terrain_level)
-            env_origin = jnp.where(
-                mb,
-                self.terrain_origins[terrain_level, state.terrain_type],
-                env_origin,
+            terrain_level, env_origin = curricula.terrain_curriculum_at_reset(
+                cfg.terrain, self.terrain_origins, self.max_episode_length_s,
+                k_lvl, m, phys.base_pos, commands, terrain_level,
+                state.terrain_type, env_origin,
             )
 
         cmd_vx_range = state.cmd_vx_range
         if cfg.commands.curriculum:
-            # update_command_curriculum (legged_robot.py:596-611): widen the
-            # vx range by 0.5 when the mean tracking reward of reset envs
-            # exceeds 80% of its maximum.
             idx = self.reward_names.index("tracking_lin_vel")
-            scale = self.reward_scales[idx]
-            count = jnp.maximum(jnp.sum(m), 1)
-            mean_track = (
-                jnp.sum(jnp.where(m, episode_sums[:, idx], 0.0)) / count
-            ) / self.max_episode_length
-            grow = (mean_track > 0.8 * scale) & (jnp.sum(m) > 0)
-            mc = cfg.commands.max_curriculum
-            cmd_vx_range = jnp.where(
-                grow,
-                jnp.stack(
-                    (jnp.clip(cmd_vx_range[0] - 0.5, -mc, 0.0),
-                     jnp.clip(cmd_vx_range[1] + 0.5, 0.0, mc))
-                ),
+            cmd_vx_range = curricula.command_curriculum_at_reset(
+                cfg.commands.max_curriculum, self.reward_scales[idx],
+                self.max_episode_length, m, episode_sums[:, idx],
                 cmd_vx_range,
             )
 
@@ -685,21 +649,10 @@ class LeggedEnv:
 
         # ---- pushes (legged_robot.py:540-555): overwrite world vxy ----
         if cfg.domain_rand.push_robots:
-            push_mask = (state.episode_length % self.push_interval) == 0
-            max_vel = cfg.domain_rand.max_push_vel_xy
-            push_vxy = jax.random.uniform(
-                k_push, (N, 2), minval=-max_vel, maxval=max_vel
-            )
-            R0 = tm.quat_to_rotmat(state.phys.base_quat)       # [N,3,3]
-            v_lin_w = jnp.einsum("nij,nj->ni", R0, state.phys.v[:, 3:6])
-            v_lin_w = jnp.where(push_mask[:, None], push_vxy, v_lin_w[:, :2])
-            v_lin_w = jnp.concatenate(
-                (v_lin_w, jnp.einsum("nij,nj->ni", R0, state.phys.v[:, 3:6])[:, 2:]),
-                axis=1,
-            )
-            v_lin_b = jnp.einsum("nji,nj->ni", R0, v_lin_w)
-            v = state.phys.v.at[:, 3:6].set(v_lin_b)
-            state = state.replace(phys=state.phys.replace(v=v))
+            state = state.replace(phys=curricula.push_robots(
+                k_push, self.push_interval, cfg.domain_rand.max_push_vel_xy,
+                state.episode_length, state.phys,
+            ))
 
         # ---- observations (legged_robot.py:789-811) ----
         obs_ctx = self._obs_ctx(state, ctx)
