@@ -122,10 +122,27 @@ class OnPolicyRunner:
         steps_per_iter = self.env.num_envs * self.cfg.runner.num_steps_per_env
         profile_iters = int(os.environ.get("UTRL_PROFILE_ITERS", 0))
         profiler_ctx = None
+        # Logging runs one iteration behind the device: the jitted
+        # iteration is dispatched asynchronously, and iteration i's
+        # metrics are fetched/printed while iteration i+1 executes, so
+        # the chip never idles on the host's console/TensorBoard work
+        # (measured ~1.45M steps/s with a per-iteration sync vs ~2.1M
+        # for the bare train iteration).
+        pending = None  # (it, device metrics, dispatch timestamp)
+
+        def flush(p):
+            pit, pmetrics, pt0 = p
+            pm = jax.device_get(pmetrics)   # blocks until iter pit is done
+            pdt = time.time() - pt0
+            self._log(pit, pm, steps_per_iter / pdt, pdt)
+
         for it in range(start, start + num_learning_iterations):
             if profile_iters and it == start + 1:
                 from unitree_rl_gym_tpu.utils.profiling import trace
 
+                if pending is not None:
+                    flush(pending)
+                    pending = None
                 profiler_ctx = trace(
                     os.path.join(self.log_dir or ".", "profile")
                 )
@@ -136,24 +153,30 @@ class OnPolicyRunner:
                 self.train_state, self._env_state, self._obs,
                 self._critic_obs, self._carry,
             )
-            metrics = jax.device_get(metrics)
-            dt_wall = time.time() - t0
-            fps = steps_per_iter / dt_wall
             self.current_learning_iteration = it + 1
-            self._log(it, metrics, fps, dt_wall)
+            if pending is not None:
+                flush(pending)
+            pending = (it, metrics, t0)
             if (
                 profiler_ctx is not None
                 and it == start + profile_iters
             ):
+                flush(pending)
+                pending = None
                 profiler_ctx.__exit__(None, None, None)
                 profiler_ctx = None
                 print(f"[runner] profile written to {self.log_dir}/profile")
             if self.log_dir and (
                 (it + 1) % self.cfg.runner.save_interval == 0
             ):
+                if pending is not None:
+                    flush(pending)
+                    pending = None
                 self.save(
                     os.path.join(self.log_dir, f"model_{it + 1}.ckpt")
                 )
+        if pending is not None:
+            flush(pending)
         if self.log_dir:
             self.save(os.path.join(
                 self.log_dir, f"model_{self.current_learning_iteration}.ckpt"
