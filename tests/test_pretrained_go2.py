@@ -137,3 +137,21 @@ def test_handstand_policy_holds_inversion():
         f"only {held.sum()}/{N} envs held the handstand >= 5 s "
         f"(best {best_run.max():.0f} steps)"
     )
+
+
+def test_all_tasks_ship_golden_artifacts_and_curves():
+    """Every registered task has a checked-in pretrained policy with its
+    reward-vs-iteration curves (the auditability artifact BASELINE.md's
+    matched-curves goal needs)."""
+    import json
+
+    for task in ("go2", "go2_handstand", "g1", "h1", "h1_2"):
+        d = os.path.join(
+            UNITREE_RL_GYM_TPU_ROOT_DIR, "resources", "pre_train", task
+        )
+        assert os.path.exists(os.path.join(d, "policy_flat.npz")), task
+        assert os.path.exists(os.path.join(d, "policy_meta.json")), task
+        curves = os.path.join(d, "curves.json")
+        assert os.path.exists(curves), f"{task} missing curves.json"
+        c = json.load(open(curves))
+        assert len(c) >= 1500 and "episode_rew" in c[-1], task
