@@ -275,11 +275,34 @@ class PPO:
             nmb = cfg.num_mini_batches
             mb_envs = N // nmb
 
+            # Same packed-gather trick as the MLP path, along the env axis:
+            # one [T, N, D_total] matrix so each minibatch is a single
+            # wide column-gather instead of ~10 per-field gathers (the
+            # scalar fields gather element-wise otherwise).
+            cols = []
+            spans = []
+            off = 0
+            for x in full:
+                d = 1 if x.ndim == 2 else x.shape[2]
+                cols.append(x[..., None] if x.ndim == 2 else x)
+                spans.append((off, off + d, x.ndim == 2))
+                off += d
+            cols.append(transitions.dones[..., None].astype(jnp.float32))
+            spans.append((off, off + 1, True))
+            packed = jnp.concatenate(cols, axis=2)
+
+            def unpack(rows):
+                fields = []
+                for (lo, hi, scalar) in spans:
+                    f = rows[..., lo:hi]
+                    fields.append(f[..., 0] if scalar else f)
+                return Batch(*fields[:-1]), fields[-1]
+
             def mb_step(carry, idx):
                 params, opt_state, lr, stats = carry
-                batch = jax.tree.map(lambda x: x[:, idx], full)
+                batch, dones_f = unpack(packed[:, idx])
                 carry0 = jax.tree.map(lambda h: h[idx], carry_start)
-                dones = transitions.dones[:, idx]
+                dones = dones_f > 0.5
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, lr, carry0, dones)
@@ -302,9 +325,33 @@ class PPO:
             nmb = cfg.num_mini_batches
             mb_size = (T * N) // nmb
 
+            # Pack every per-sample field into one [T*N, D_total] matrix so
+            # the minibatch shuffle is a single wide row-gather. Gathering
+            # the scalar fields (advantages/returns/log_probs/values) as
+            # separate f32[T*N] arrays lowers to element-wise scalar loads
+            # on TPU — profiled at ~15 ms of the 46 ms train iteration at
+            # 4096 envs. Rows of ~550 B DMA efficiently; column slices of
+            # the gathered block fuse into the loss for free.
+            cols = []
+            spans = []
+            off = 0
+            for x in flat:
+                d = 1 if x.ndim == 1 else x.shape[1]
+                cols.append(x[:, None] if x.ndim == 1 else x)
+                spans.append((off, off + d, x.ndim == 1))
+                off += d
+            packed = jnp.concatenate(cols, axis=1)
+
+            def unpack(rows):
+                fields = []
+                for (lo, hi, scalar) in spans:
+                    f = rows[:, lo:hi]
+                    fields.append(f[:, 0] if scalar else f)
+                return Batch(*fields)
+
             def mb_step(carry, idx):
                 params, opt_state, lr, stats = carry
-                batch = jax.tree.map(lambda x: x[idx], flat)
+                batch = unpack(packed[idx])
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, lr)
