@@ -138,3 +138,26 @@ def test_env_step_on_terrain_with_forced_pallas(terrain_env):
     rel_h = np.asarray(s_pal.base_pos[:, 2]) - ground
     assert np.all(np.isfinite(np.asarray(s_pal.base_pos)))
     assert (rel_h > 0.1).all() and (rel_h < 0.6).all()
+
+
+def test_gh_carry_matches_fresh_sampling(terrain_env):
+    """The env's lag-1 gh carry (built from aux["p_xy"]) must equal a
+    fresh sample_point_heights at the NEXT step's start state for every
+    env that did not reset — end-of-step-k positions are start-of-step-k+1
+    positions, so the carry is lag-free by construction."""
+    env = terrain_env
+    state, _ = env.reset_all(jax.random.PRNGKey(3))
+    assert state.gh is not None and state.gh.shape[1] > 0
+    step = jax.jit(env.step)
+    state2, _, _, _, reset, _ = step(
+        state, jnp.zeros((N, env.num_actions))
+    )
+    fresh = pb.sample_point_heights(
+        env.robot.dyn, state2.phys, env.ground_fn
+    )
+    live = ~np.asarray(reset)
+    assert live.any()
+    np.testing.assert_allclose(
+        np.asarray(state2.gh)[live], np.asarray(fresh)[live],
+        atol=1e-5,
+    )

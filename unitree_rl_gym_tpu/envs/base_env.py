@@ -73,6 +73,13 @@ class EnvState(struct.PyTreeNode):
     obs: jax.Array                  # [N, num_obs]
     priv_obs: Optional[jax.Array]   # [N, num_priv] or None
     key: jax.Array                  # PRNG key
+    # terrain only: step-start per-contact-point ground heights [N, ncp],
+    # gathered from the PREVIOUS step's end-of-step point xy (aux["p_xy"])
+    # — end-of-step-k positions ARE start-of-step-k+1 positions, so this
+    # carry is exactly as fresh as re-sampling at step start but costs one
+    # bilinear gather instead of a full XLA FK (the round-2 terrain
+    # bottleneck, 9.6x below flat throughput).
+    gh: Optional[jax.Array] = None
 
 
 class LeggedEnv:
@@ -183,6 +190,12 @@ class LeggedEnv:
             self.terrain_origins = jnp.asarray(
                 self.terrain.env_origins, jnp.float32
             )
+            # default-pose world point xy offsets (relative to the base
+            # origin, sorted-point order): used to seed the gh carry for
+            # just-reset envs without an FK — reset pose is the default
+            # pose (joint randomization moves points a few cm; the first
+            # post-reset sample absorbs it like any lag-1 staleness).
+            self.cp_xy0 = self._default_pose_point_xy()
 
         # contact-solver preconditioner at nominal pose (numpy: trace-time
         # constant folded into the SoA/Pallas kernels)
@@ -281,6 +294,34 @@ class LeggedEnv:
         tipped = (jnp.abs(ctx.rpy[:, 1]) > 1.0) | (jnp.abs(ctx.rpy[:, 0]) > 0.8)
         time_out = ctx.episode_length > self.max_episode_length
         return illegal | tipped | time_out, time_out
+
+    # ------------------------------------------------------------------
+    # terrain gh carry helpers
+    # ------------------------------------------------------------------
+
+    def _default_pose_point_xy(self):
+        """World xy of every contact point relative to the base origin at
+        the default pose / init orientation, sorted-point order [ncp, 2].
+        Computed once at env build (host-side FK)."""
+        from unitree_rl_gym_tpu.physics import backend as pback
+        from unitree_rl_gym_tpu.physics import dynamics as dyn
+
+        model = self.robot.dyn
+        m = pback.soa_model_for(model)
+        R_w, p_w, _, v_b = dyn.fk(
+            model,
+            jnp.zeros(3),
+            self.base_init_quat,
+            self.default_dof_pos,
+            jnp.zeros(6 + self.robot.num_dof),
+        )
+        x, _ = ct.point_kinematics(model, R_w, p_w, v_b)
+        return jnp.asarray(np.asarray(x)[:, :2][m.cp_perm], jnp.float32)
+
+    def _reset_gh(self, base_pos):
+        """gh for just-reset envs: heightfield at base xy + default-pose
+        point offsets — seeds the lag-1 carry without an FK."""
+        return self.ground_fn(base_pos[:, None, :2] + self.cp_xy0[None])
 
     # ------------------------------------------------------------------
     # reset sampling
@@ -455,6 +496,10 @@ class LeggedEnv:
                 if self.num_privileged_obs else None
             ),
             key=key,
+            gh=(
+                self._reset_gh(phys.base_pos)
+                if self.terrain is not None else None
+            ),
         )
         state, obs, *_ = self.step(state, jnp.zeros((N, self.num_actions)))
         return state, obs
@@ -481,6 +526,7 @@ class LeggedEnv:
             state.friction, state.mass_scale, m_n, m_t,
             ground_fn=self.ground_fn,
             backend=getattr(cfg.sim, "backend", "auto"),
+            gh=state.gh,
         )
         state = state.replace(phys=phys, actions=actions)
 
@@ -646,6 +692,17 @@ class LeggedEnv:
             env_origin=env_origin,
             cmd_vx_range=cmd_vx_range,
         )
+
+        # ---- terrain gh carry for the next step (lag-free: end-of-step
+        #      point xy == next step-start positions; reset envs get the
+        #      default-pose approximation at their new origin) ----
+        if self.terrain is not None:
+            gh_next = (
+                self.ground_fn(aux["p_xy"]) if "p_xy" in aux else state.gh
+            )
+            state = state.replace(
+                gh=jnp.where(mb, self._reset_gh(reset_phys.base_pos), gh_next)
+            )
 
         # ---- pushes (legged_robot.py:540-555): overwrite world vxy ----
         if cfg.domain_rand.push_robots:

@@ -48,10 +48,14 @@ def control_step_vmap(model, cparams, pd, sim_dt, decimation, state,
 
 def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
                      target, friction, mass_scale, m_eff_n, m_eff_t,
-                     ground_fn=None):
+                     ground_fn=None, want_pxy=False):
     """Batched SoA control step as a plain XLA program (env batch =
     trailing dim of every scalar). Used on CPU/tests and wherever the
-    Pallas kernel doesn't apply (terrain lookups, odd batch sizes)."""
+    Pallas kernel doesn't apply (terrain lookups, odd batch sizes).
+
+    ``want_pxy``: also emit end-of-step world point xy in
+    ``aux["p_xy"]`` [N, ncp, 2] so the env can maintain the lag-1
+    terrain-height carry uniformly across backends."""
     m = soa_model_for(model)
     N = state.joint_q.shape[0]
     nj, nv = m.nj, m.nv
@@ -102,6 +106,11 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
         "rb_pos_w": jnp.stack([jnp.stack(p, -1) for p in rb_pos], 1),
         "rb_vel_w": jnp.stack([jnp.stack(u, -1) for u in rb_vel], 1),
     }
+    if want_pxy:
+        _, x_w = soa.point_world_positions_s(m, R_w, p_w)   # 3 x (ncp, N)
+        aux["p_xy"] = jnp.stack(
+            [jnp.transpose(x_w[0]), jnp.transpose(x_w[1])], axis=-1
+        )
     return new_state, aux
 
 
@@ -127,15 +136,22 @@ def sample_point_heights(model, state, ground_fn):
 
 def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                  friction, mass_scale, m_eff_n, m_eff_t, ground_fn=None,
-                 backend="auto"):
+                 backend="auto", gh=None):
     """Dispatch. ``auto``: Pallas on TPU for tile-able batches — flat
-    ground or heightfield terrain (heights pre-sampled in XLA, see
-    :func:`sample_point_heights`) — under ``shard_map`` when the env axis
+    ground or heightfield terrain — under ``shard_map`` when the env axis
     is sharded over a registered mesh (parallel/mesh.py); SoA-XLA
-    otherwise."""
+    otherwise.
+
+    Terrain operands: ``gh`` [N, ncp] step-start point ground heights (the
+    env's lag-1 carry built from the previous step's ``aux["p_xy"]``,
+    envs/base_env.py). When ``gh`` is None but ``ground_fn`` is given, the
+    Pallas path falls back to :func:`sample_point_heights` (one full XLA
+    FK per control step — the slow formulation kept for tests), and the
+    SoA path samples the heightfield exactly every substep."""
     from unitree_rl_gym_tpu.parallel import mesh as pmesh
 
     N = state.joint_q.shape[0]
+    terrain = ground_fn is not None or gh is not None
     mesh = pmesh.get_env_mesh()
     if backend == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -146,9 +162,12 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
             if mesh is not None and mesh.size > 1:
                 backend = (
                     "pallas_shmap"
-                    if pallas_step.supports(N // mesh.size, m) else "soa"
+                    if pallas_step.supports(N // mesh.size, m, terrain)
+                    else "soa"
                 )
-            elif jax.device_count() == 1 and pallas_step.supports(N, m):
+            elif jax.device_count() == 1 and pallas_step.supports(
+                N, m, terrain
+            ):
                 backend = "pallas"
             else:
                 backend = "soa"
@@ -157,10 +176,8 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
     if backend in ("pallas", "pallas_shmap"):
         from unitree_rl_gym_tpu.physics import pallas_step
 
-        gh = (
-            sample_point_heights(model, state, ground_fn)
-            if ground_fn is not None else None
-        )
+        if gh is None and ground_fn is not None:
+            gh = sample_point_heights(model, state, ground_fn)
         if backend == "pallas_shmap":
             return pallas_step.control_step_pallas_sharded(
                 model, cparams, pd, sim_dt, decimation, state, target,
@@ -174,6 +191,7 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
         return control_step_soa(
             model, cparams, pd, sim_dt, decimation, state, target,
             friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
+            want_pxy=terrain,
         )
     return control_step_vmap(
         model, cparams, pd, sim_dt, decimation, state, target,

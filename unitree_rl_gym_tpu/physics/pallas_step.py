@@ -40,31 +40,36 @@ from unitree_rl_gym_tpu.physics import soa
 BLOCK_ENVS = 1024   # env block: (8, 128) fp32 tiles are the minimum legal block
 
 
-def _vmem_rows(m) -> int:
+def _vmem_rows(m, terrain: bool = False) -> int:
     """Rough count of live (8, 128) scalar tiles in the kernel: state
     in/out + targets, contact-solver carries/intermediates (~4 rows per
     point) + the optional terrain gh input (1 row per point), per-body
-    outputs. The x3 live-intermediate factor in _fits_vmem is calibrated
-    against G1 @ BE=1024 (17.35 MB scoped vmem measured when the 6*ncp
-    point constants were also broadcast tiles)."""
-    return 5 * m.ncp + 9 * m.nrb + 4 * m.nj + 2 * m.nv + 32
+    outputs. Terrain adds the 2 point-xy output rows per point (the lag-1
+    height-sampling carry, see control_step_pallas ``gh``). The x3
+    live-intermediate factor in _fits_vmem is calibrated against G1 @
+    BE=1024 (17.35 MB scoped vmem measured when the 6*ncp point constants
+    were also broadcast tiles)."""
+    return (
+        5 * m.ncp + 9 * m.nrb + 4 * m.nj + 2 * m.nv + 32
+        + (2 * m.ncp if terrain else 0)
+    )
 
 
-def _fits_vmem(m) -> bool:
-    return 3 * _vmem_rows(m) * BLOCK_ENVS * 4 <= 15 * 1024 * 1024
+def _fits_vmem(m, terrain: bool = False) -> bool:
+    return 3 * _vmem_rows(m, terrain) * BLOCK_ENVS * 4 <= 15 * 1024 * 1024
 
 
-def supports(N: int, m) -> bool:
+def supports(N: int, m, terrain: bool = False) -> bool:
     """Whether the fused kernel can run this batch/model (backend.py's
     auto dispatch falls back to the XLA SoA program otherwise)."""
-    return N % BLOCK_ENVS == 0 and _fits_vmem(m)
+    return N % BLOCK_ENVS == 0 and _fits_vmem(m, terrain)
 
 
-def _pick_block(N: int, m) -> int:
-    if not supports(N, m):
+def _pick_block(N: int, m, terrain: bool = False) -> int:
+    if not supports(N, m, terrain):
         raise ValueError(
             f"pallas physics backend needs N % {BLOCK_ENVS} == 0 and a model "
-            f"that fits VMEM (N={N}, est rows={_vmem_rows(m)})"
+            f"that fits VMEM (N={N}, est rows={_vmem_rows(m, terrain)})"
         )
     return BLOCK_ENVS
 
@@ -89,7 +94,9 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
     (bp_ref, bq_ref, q_ref, v_ref, tgt_ref, fric_ref, mass_ref,
      pc_ref) = refs[:8]
     gh_ref = refs[8] if has_gh else None
-    (obp, obq, oq, ov, otau, ocf, orbp, orbv) = refs[8 + int(has_gh):]
+    out_refs = refs[8 + int(has_gh):]
+    (obp, obq, oq, ov, otau, ocf, orbp, orbv) = out_refs[:8]
+    opxy = out_refs[8] if has_gh else None
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
     S = bp_ref.shape[1:]
 
@@ -138,6 +145,17 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
     R_w, p_w, E_up, v_b = soa.fk_s(m, bp, bq, list(q), list(v))
     rb_pos, rb_vel = soa.rb_states_s(m, R_w, p_w, v_b)
     cf = soa.cf_rb_s(m, pn, (ptx, pty), sim_dt, S)
+    if has_gh:
+        # terrain lag-1 carry: end-of-step world point xy, so the NEXT
+        # control step's heights can be gathered in XLA without re-running
+        # FK (end-of-step-k positions == start-of-step-k+1 positions, i.e.
+        # the sample is exactly as fresh as backend.sample_point_heights
+        # was, minus its full XLA FK).
+        _, x_w = soa.point_world_positions_s(
+            m, R_w, p_w, rc_c=pconsts["rc"]
+        )
+        opxy[0:ncp] = x_w[0]
+        opxy[ncp:2 * ncp] = x_w[1]
 
     for i in range(3):
         obp[i] = bp[i]
@@ -163,11 +181,13 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (CPU-testable; also via env UTRL_PALLAS_INTERPRET=1).
 
-    ``gh``: [N, ncp] per-contact-point ground heights (terrain), sampled
-    once per control step at step-start point positions
-    (backend.sample_point_heights) and frozen across the decimation loop —
+    ``gh``: [N, ncp] per-contact-point ground heights (terrain), valid at
+    step-start point positions and frozen across the decimation loop —
     the TPU-friendly heightfield formulation: the bilinear HBM gather
-    happens in XLA outside the kernel, the kernel sees a dense operand."""
+    happens in XLA outside the kernel, the kernel sees a dense operand.
+    The caller obtains step-start heights either from the previous step's
+    ``aux["p_xy"]`` output (the lag-free carry, envs/base_env.py) or from
+    backend.sample_point_heights (one-off XLA FK)."""
     from unitree_rl_gym_tpu.physics import backend as pb
     m = pb.soa_model_for(model)
 
@@ -175,9 +195,10 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 
     interpret = interpret or os.environ.get("UTRL_PALLAS_INTERPRET") == "1"
     N = state.joint_q.shape[0]
+    has_gh = gh is not None
     # interpret mode (CPU tests) has no (8,128) tile constraint — run the
     # whole batch as one block so small test batches work.
-    BE = N if (interpret and N % 8 == 0) else _pick_block(N, m)
+    BE = N if (interpret and N % 8 == 0) else _pick_block(N, m, has_gh)
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
 
     kp = [float(x) for x in pd.kp]
@@ -208,7 +229,6 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         _to_tiles(mass_scale, N),
         pc,
     ]
-    has_gh = gh is not None
     if has_gh:
         inputs.append(_to_tiles(gh, N))          # (ncp, 8, N//8)
 
@@ -224,6 +244,8 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         )
     ] + ([spec(ncp)] if has_gh else [])
     out_dims = [3, 4, nj, nv, nj, nrb * 3, nrb * 3, nrb * 3]
+    if has_gh:
+        out_dims.append(2 * ncp)                 # end-of-step point xy
     out_shape = [
         jax.ShapeDtypeStruct((k, 8, N // 8), jnp.float32) for k in out_dims
     ]
@@ -251,7 +273,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         interpret=interpret,
     )(*inputs)
 
-    bp, bq, q, v, tau, cf, rbp, rbv = outs
+    bp, bq, q, v, tau, cf, rbp, rbv = outs[:8]
     new_state = eng.PhysicsState(
         base_pos=_from_tiles(bp, N),
         base_quat=_from_tiles(bq, N),
@@ -264,6 +286,9 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         "rb_pos_w": _from_tiles(rbp, N).reshape(N, nrb, 3),
         "rb_vel_w": _from_tiles(rbv, N).reshape(N, nrb, 3),
     }
+    if has_gh:
+        pxy = _from_tiles(outs[8], N)            # [N, 2*ncp]: x rows, y rows
+        aux["p_xy"] = jnp.stack([pxy[:, :ncp], pxy[:, ncp:]], axis=-1)
     return new_state, aux
 
 

@@ -359,8 +359,6 @@ def apply_inertia(blk, v, scale=1.0):
     if not (_is_const(scale) and scale == 1.0):
         n = v3_scale(n, scale)
         f = v3_scale(f, scale)
-    elif _is_const(scale) and scale != 1.0:
-        n, f = v3_scale(n, scale), v3_scale(f, scale)
     return (n, f)
 
 
@@ -901,11 +899,17 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
 
 
 def rb_states_s(m: SoAModel, R_w, p_w, v_b):
-    """World pos/vel of report bodies (engine.rb_states)."""
+    """World pos/vel of report bodies (engine.rb_states).
+
+    ``rb_rot`` (report-frame orientation) is intentionally unused: only
+    world positions/velocities/net contact forces of report bodies are
+    ever reported, never orientations, and ``rb_pos`` is the report
+    origin expressed in the DYN frame (models/urdf.py:119) — so
+    p = p_b + R_b @ rb_pos and v = R_b (vl + w x rb_pos) are exact for
+    arbitrary rb_rot (rotated fixed-collapsed links included)."""
     pos, vel = [], []
     for r in range(m.nrb):
         b = m.rb_dyn[r]
-        # R_b_total = R_w[b] @ rb_rot? reference keeps rb frame == dyn frame
         # offset: p = p_b + R_b rb_pos ; v = R_b (vl + w x rb_pos)
         rp = m.rb_pos[r]
         w, vl = v_b[b]
