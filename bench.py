@@ -4,10 +4,15 @@ Measures env-steps/s of the full jitted train iteration (24-step rollout +
 GAE + 5x4 minibatch updates, everything on device) at the reference's
 operating points (BASELINE.md / BASELINE.json configs):
 
-  * go2         — flagship: 4096 envs, MLP [512,256,128], 200 Hz dec 4
-  * g1          — humanoid: LSTM-64 recurrent policy (TBPTT update path)
-  * h1_2        — 400 Hz sim dt 0.0025, decimation 8 (2x physics work)
-  * go2_terrain — heightfield terrain curriculum on the Pallas fast path
+  * go2          — flagship: 4096 envs, MLP [512,256,128], 200 Hz dec 4
+  * g1           — humanoid: LSTM-64 recurrent policy (TBPTT update path)
+  * h1_2         — 400 Hz sim dt 0.0025, decimation 8 (2x physics work)
+  * go2_terrain  — heightfield terrain curriculum on the Pallas fast path
+  * h1_2_terrain — BASELINE config #4 as written: H1_2 + terrain
+                   curriculum + observation noise (noise is on in the
+                   stock h1_2 cfg)
+  * g1_terrain   — LSTM recurrent policy + terrain curriculum (the
+                   "rough_g1" operating class)
 
 Prints ONE JSON line: the flagship go2 metric, with the other configs under
 ``extra``. ``vs_baseline`` is relative to the Isaac-Gym-on-A100-class
@@ -34,11 +39,11 @@ def build(task, num_envs):
     from unitree_rl_gym_tpu.models import networks as nets
     from unitree_rl_gym_tpu.rl.ppo import PPO
 
-    reg_name = "go2" if task == "go2_terrain" else task
+    reg_name = task.removesuffix("_terrain")
     cfg, tcfg = task_registry.get_cfgs(reg_name)
     env_class = task_registry.get_task_class(reg_name)
     cfg.env.num_envs = num_envs
-    if task == "go2_terrain":
+    if task.endswith("_terrain"):
         # BASELINE.json config #4 class: heightfield terrain curriculum
         cfg.terrain.mesh_type = "heightfield"
         cfg.terrain.curriculum = True
@@ -83,7 +88,7 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     configs = os.environ.get(
-        "BENCH_CONFIGS", "go2,g1,h1_2,go2_terrain"
+        "BENCH_CONFIGS", "go2,g1,h1_2,go2_terrain,h1_2_terrain,g1_terrain"
     ).split(",")
     budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
 

@@ -74,12 +74,28 @@ class EnvState(struct.PyTreeNode):
     priv_obs: Optional[jax.Array]   # [N, num_priv] or None
     key: jax.Array                  # PRNG key
     # terrain only: step-start per-contact-point ground heights [N, ncp],
-    # gathered from the PREVIOUS step's end-of-step point xy (aux["p_xy"])
+    # computed from the PREVIOUS step's end-of-step point xy (aux["p_xy"])
     # — end-of-step-k positions ARE start-of-step-k+1 positions, so this
-    # carry is exactly as fresh as re-sampling at step start but costs one
-    # bilinear gather instead of a full XLA FK (the round-2 terrain
-    # bottleneck, 9.6x below flat throughput).
+    # carry is exactly as fresh as re-sampling at step start but needs
+    # neither an XLA FK nor an in-scan heightfield gather (both r2/r3
+    # terrain bottlenecks; see win/win_corner below).
     gh: Optional[jax.Array] = None
+    # terrain only: per-env heightfield windows [N, W, W] + their grid
+    # corners [N, 2]. Gathering from the global heightfield inside the
+    # rollout lax.scan hits a serialized ~10 ns/element XLA:TPU path
+    # (r3 profile: 82% of the terrain iteration), so windows are fetched
+    # at top level (refresh_terrain, once per rollout) and heights come
+    # from a tent-weight einsum against the window in-scan.
+    win: Optional[jax.Array] = None
+    win_corner: Optional[jax.Array] = None
+    # envs reset since the last window refresh (teleported out of their
+    # window): their gh falls back to the spawn platform height
+    # env_origin[2] until refresh_terrain re-centers their window.
+    win_stale: Optional[jax.Array] = None
+    # task-specific evolving scalar/array state (None for base tasks).
+    # Handstand stores the annealed RSI probability here
+    # (go2_handstand.py _init_task_state / step).
+    task_state: Optional[jax.Array] = None
 
 
 class LeggedEnv:
@@ -186,6 +202,7 @@ class LeggedEnv:
 
             self.terrain = Terrain(cfg.terrain, self.num_envs, seed=cfg.seed)
             grid = self.terrain.grid()
+            self.grid = grid
             self.ground_fn = grid.height_at
             self.terrain_origins = jnp.asarray(
                 self.terrain.env_origins, jnp.float32
@@ -319,19 +336,42 @@ class LeggedEnv:
         return jnp.asarray(np.asarray(x)[:, :2][m.cp_perm], jnp.float32)
 
     def _reset_gh(self, base_pos):
-        """gh for just-reset envs: heightfield at base xy + default-pose
-        point offsets — seeds the lag-1 carry without an FK."""
+        """Exact gh at base xy + default-pose point offsets (top-level
+        gather; used by reset_all only — in-scan resets use the platform
+        origin height instead, see step)."""
         return self.ground_fn(base_pos[:, None, :2] + self.cp_xy0[None])
+
+    def refresh_terrain(self, state: EnvState) -> EnvState:
+        """Re-center every env's heightfield window on its current base
+        position and clear staleness. MUST be called at program top level
+        (outside any lax.scan — the fetch is a gather, see
+        TerrainGrid.window_at): once per rollout by the PPO driver, every
+        step by eval loops via step's ``refresh_terrain=True`` default.
+        No-op for flat-ground tasks."""
+        if self.terrain is None:
+            return state
+        win, corner = self.grid.window_at(state.phys.base_pos[:, :2])
+        return state.replace(
+            win=win, win_corner=corner,
+            win_stale=jnp.zeros((self.num_envs,), bool),
+        )
 
     # ------------------------------------------------------------------
     # reset sampling
     # ------------------------------------------------------------------
 
-    def _sample_reset(self, key, n, origins=None, vx_range=None):
+    def _init_task_state(self):
+        """Initial value of EnvState.task_state (None for base tasks)."""
+        return None
+
+    def _sample_reset(self, key, n, origins=None, vx_range=None,
+                      task_state=None):
         """Fresh physics state + commands for ``n`` envs
         (legged_robot.py:557-594, 519-538). With terrain, spawn at the
         env's sub-terrain origin with ±1 m xy jitter (legged_robot.py:582-585
-        custom-origins path)."""
+        custom-origins path). ``task_state`` is the live
+        EnvState.task_state for subclasses whose reset distribution
+        evolves over training (handstand RSI annealing)."""
         nj = self.robot.num_dof
         k1, k2, k3, k4 = jax.random.split(key, 4)
         dof_pos = self.default_dof_pos * jax.random.uniform(
@@ -444,8 +484,10 @@ class LeggedEnv:
             self.cfg.commands.ranges["lin_vel_x"], jnp.float32
         )
         vx_range = cmd_vx_range if self.cfg.commands.curriculum else None
+        task_state = self._init_task_state()
         phys, commands = self._sample_reset(
-            k_reset, N, origins=env_origin, vx_range=vx_range
+            k_reset, N, origins=env_origin, vx_range=vx_range,
+            task_state=task_state,
         )
 
         dr = self.cfg.domain_rand
@@ -500,15 +542,25 @@ class LeggedEnv:
                 self._reset_gh(phys.base_pos)
                 if self.terrain is not None else None
             ),
+            task_state=task_state,
         )
+        state = self.refresh_terrain(state)
         state, obs, *_ = self.step(state, jnp.zeros((N, self.num_actions)))
         return state, obs
 
-    def step(self, state: EnvState, actions):
+    def step(self, state: EnvState, actions, refresh_terrain: bool = True):
         """One control step for all envs. See module docstring for the
-        preserved ordering."""
+        preserved ordering.
+
+        ``refresh_terrain``: re-center heightfield windows at step start
+        (exact heights; right for eval loops calling step at top level).
+        The PPO rollout passes False and calls :meth:`refresh_terrain`
+        once per rollout instead — window fetches are gathers and must
+        stay out of the scan (TerrainGrid.window_at)."""
         cfg = self.cfg
         N = self.num_envs
+        if refresh_terrain and self.terrain is not None:
+            state = self.refresh_terrain(state)
         clip_a = cfg.normalization.clip_actions
         actions = jnp.clip(actions, -clip_a, clip_a)
 
@@ -656,6 +708,7 @@ class LeggedEnv:
         reset_phys, reset_cmds = self._sample_reset(
             k_reset, N, origins=env_origin,
             vx_range=cmd_vx_range if cfg.commands.curriculum else None,
+            task_state=state.task_state,
         )
 
         def sel(new, old):
@@ -694,14 +747,26 @@ class LeggedEnv:
         )
 
         # ---- terrain gh carry for the next step (lag-free: end-of-step
-        #      point xy == next step-start positions; reset envs get the
-        #      default-pose approximation at their new origin) ----
+        #      point xy == next step-start positions). Heights come from
+        #      the per-env window einsum (in-scan safe); envs reset since
+        #      the last window refresh are out of their window, so they
+        #      use their spawn platform height env_origin[2] (terrains
+        #      keep a flat platform around the origin; curricula place
+        #      origin_z = max height within +-1 m, utils/terrain.py _add)
+        #      until refresh_terrain re-centers them. ----
         if self.terrain is not None:
-            gh_next = (
-                self.ground_fn(aux["p_xy"]) if "p_xy" in aux else state.gh
+            gh_live = (
+                self.grid.height_in_window(
+                    state.win, state.win_corner, aux["p_xy"]
+                )
+                if "p_xy" in aux else state.gh
             )
+            stale = state.win_stale | m
             state = state.replace(
-                gh=jnp.where(mb, self._reset_gh(reset_phys.base_pos), gh_next)
+                gh=jnp.where(
+                    stale[:, None], env_origin[:, 2:3], gh_live
+                ),
+                win_stale=stale,
             )
 
         # ---- pushes (legged_robot.py:540-555): overwrite world vxy ----

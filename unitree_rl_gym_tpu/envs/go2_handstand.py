@@ -154,24 +154,37 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return obs, obs
 
-    def _sample_reset(self, key, n, origins=None, vx_range=None):
+    def _init_task_state(self):
+        """EnvState.task_state = live RSI probability (annealed in step)."""
+        p0 = float(getattr(self.cfg.init_state, "handstand_init_prob", 0.0))
+        return jnp.asarray(p0, jnp.float32)
+
+    def _sample_reset(self, key, n, origins=None, vx_range=None,
+                      task_state=None):
         """Reference-state initialisation (RSI): with probability
-        ``cfg.init_state.handstand_init_prob`` an env resets *near the
-        inverted pose* (joints at the handstand keyframe, trunk pitched
-        150°-200° nose-down, at rest) instead of upright.
+        ``task_state`` (annealed from ``cfg.init_state.handstand_init_prob``
+        to ``handstand_init_prob_final``, see :meth:`step`) an env resets
+        *near the inverted pose* (joints at the handstand keyframe, trunk
+        pitched 150°-200° nose-down, at rest) instead of upright.
 
         Rationale: the handstand reward surface is flat everywhere the
         upright-started policy can reach — ``orientation``/``pose`` are
         exp-shaped around the inverted pose and numerically zero below
         g_z≈0, so vanilla exploration never finds the kick-up (observed:
-        1500-iter runs converge to a tucked crouch).  Seeding a fraction
-        of episodes at the goal teaches balance directly and gives the
-        critic a high-value target that bootstraps the transition.  This
-        is a training-time exploration aid on top of the reference's env
+        1500-iter runs converge to a tucked crouch).  Seeding early
+        episodes at the goal teaches balance directly and gives the
+        critic a high-value target; annealing the probability to zero
+        then forces the policy to learn the kick-up *transition* from
+        upright starts — reproducing the reference's staged-termination
+        training intent (go2_handstand_env.py:211-212 comment).  This is
+        a training-time exploration aid on top of the reference's env
         semantics (rewards/termination/obs are unchanged)."""
         phys, commands = super()._sample_reset(key, n, origins, vx_range)
-        p_inv = getattr(self.cfg.init_state, "handstand_init_prob", 0.0)
-        if p_inv <= 0.0:
+        p_inv = (
+            task_state if task_state is not None
+            else self._init_task_state()
+        )
+        if isinstance(p_inv, float) and p_inv <= 0.0:
             return phys, commands
         k_sel, k_th, k_yaw, k_q, k_h = jax.random.split(
             jax.random.fold_in(key, 17), 5
@@ -206,11 +219,18 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return phys, commands
 
-    def step(self, state, actions):
-        """Adds the contact-flag bit-flip after the base pipeline's noise
-        (go2_handstand_env.py:160-169): each of the last 4 dims flips with
-        p=0.01 when noise is on."""
-        state, obs, priv, rew, reset, extras = super().step(state, actions)
+    def step(self, state, actions, refresh_terrain: bool = True):
+        """Adds (a) the contact-flag bit-flip after the base pipeline's
+        noise (go2_handstand_env.py:160-169): each of the last 4 dims
+        flips with p=0.01 when noise is on; (b) the RSI-probability
+        anneal: task_state decays linearly from
+        ``init_state.handstand_init_prob`` to
+        ``handstand_init_prob_final`` over ``handstand_anneal_steps``
+        control steps, so late training resets upright and the policy
+        must learn the kick-up."""
+        state, obs, priv, rew, reset, extras = super().step(
+            state, actions, refresh_terrain
+        )
         if self.cfg.noise.add_noise and CONTACT_FLIP_P > 0:
             key, k = jax.random.split(state.key)
             flips = jax.random.uniform(k, (self.num_envs, 4)) < CONTACT_FLIP_P
@@ -219,6 +239,14 @@ class GO2HandstandEnv(LeggedEnv):
                 jnp.logical_xor(flags, flips).astype(obs.dtype)
             )
             state = state.replace(key=key, obs=obs)
+        ist = self.cfg.init_state
+        p0 = float(getattr(ist, "handstand_init_prob", 0.0))
+        p1 = float(getattr(ist, "handstand_init_prob_final", p0))
+        steps = float(getattr(ist, "handstand_anneal_steps", 0.0))
+        if steps > 0 and p1 < p0:
+            p = jnp.maximum(p1, state.task_state - (p0 - p1) / steps)
+            state = state.replace(task_state=p)
+        extras["episode"]["hs_init_prob"] = state.task_state
         return state, obs, priv, rew, reset, extras
 
 
@@ -230,9 +258,16 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
     cfg.env.num_actions = 12
     # init_state (go2_handstand_config.py:13-31)
     cfg.init_state.pos = [0.0, 0.0, 0.28]
-    # RSI: half the episodes start near the inverted pose (see
-    # GO2HandstandEnv._sample_reset for why this is necessary)
-    cfg.init_state.handstand_init_prob = 0.5
+    # Annealed RSI (see GO2HandstandEnv._sample_reset): start with every
+    # episode near the inverted pose (learn balance), decay linearly to
+    # all-upright starts over the first 2000 iterations (x24 steps/iter)
+    # so the rest of training learns the kick-up transition.
+    cfg.init_state.handstand_init_prob = 1.0
+    cfg.init_state.handstand_init_prob_final = 0.0
+    cfg.init_state.handstand_anneal_steps = 48_000
+    # fallen-band termination grace (see _check_termination): long enough
+    # to cross the sideways band during a kick-up from upright
+    cfg.env.fallen_grace_s = 1.5
     cfg.init_state.default_joint_angles = {
         "FL_hip_joint": 0.3, "FR_hip_joint": -0.3,
         "FL_thigh_joint": 1.2, "FR_thigh_joint": 1.2,
@@ -305,4 +340,6 @@ def go2_handstand_train_cfg() -> TrainCfg:
     t = TrainCfg()
     t.algorithm.entropy_coef = 0.01
     t.runner.experiment_name = "go2_handstand"
+    # 2000 annealed-RSI iters + 1000 all-upright iters for the kick-up
+    t.runner.max_iterations = 3000
     return t

@@ -102,6 +102,11 @@ class PPO:
          ep_stats)."""
         gamma = self.cfg.gamma
         carry_start = carry
+        # terrain: re-center per-env heightfield windows once per rollout,
+        # at top level where the window gather is fast (envs/base_env.py
+        # refresh_terrain; in-scan steps run with refresh_terrain=False)
+        if getattr(env, "terrain", None) is not None:
+            env_state = env.refresh_terrain(env_state)
 
         def step_fn(c, key):
             env_state, obs, critic_obs, carry = c
@@ -111,8 +116,10 @@ class PPO:
             eps = jax.random.normal(key, mu.shape)
             actions = mu + std * eps
             logp = nets.log_prob(mu, std, actions)
+            # refresh_terrain=False: window fetches are gathers and must
+            # stay out of this scan (done once per rollout below)
             env_state, next_obs, next_priv, rew, done, extras = env.step(
-                env_state, actions
+                env_state, actions, refresh_terrain=False
             )
             next_critic = next_priv if next_priv is not None else next_obs
             # time-out bootstrap (rsl_rl process_env_step)

@@ -369,6 +369,53 @@ class TerrainGrid:
             border_size=t.cfg.border_size,
         )
 
+    def window_at(self, base_xy, W: int = 48):
+        """Per-env WxW heightfield windows centered at ``base_xy`` [N, 2].
+
+        Returns (win [N, W, W] f32, corner [N, 2] i32 grid coords of
+        win[:, 0, 0]). TOP-LEVEL USE ONLY: the vmapped dynamic_slice
+        lowers to a gather, which is fast at program top level but
+        pathological inside ``lax.scan`` on TPU (~10 ns/output element,
+        measured r3) — that asymmetry is the whole reason windows exist:
+        fetch once per rollout outside the scan, then look heights up
+        in-scan with :meth:`height_in_window` (pure VPU/MXU work)."""
+        import jax
+        import jax.numpy as jnp
+
+        h = self.heights
+        R, C = h.shape
+        g = (base_xy + self.border_size) / self.horizontal_scale
+        corner = jnp.floor(g).astype(jnp.int32) - W // 2
+        corner = jnp.clip(corner, 0, jnp.asarray([R - W, C - W]))
+        win = jax.vmap(
+            lambda c: jax.lax.dynamic_slice(h, (c[0], c[1]), (W, W))
+        )(corner)
+        return win, corner
+
+    def height_in_window(self, win, corner, xy):
+        """Bilinear ground heights from per-env windows; xy [N, P, 2]
+        world meters -> [N, P]. Identical to :meth:`height_at` for
+        in-window points (bilinear == separable tent weights; the einsum
+        contraction maps to the MXU and stays fast inside ``lax.scan``).
+        Out-of-window coords clamp to the window edge."""
+        import jax.numpy as jnp
+
+        W = win.shape[-1]
+        gx = (
+            (xy[..., 0] + self.border_size) / self.horizontal_scale
+            - corner[:, None, 0]
+        )
+        gy = (
+            (xy[..., 1] + self.border_size) / self.horizontal_scale
+            - corner[:, None, 1]
+        )
+        gx = jnp.clip(gx, 0.0, W - 1.001)
+        gy = jnp.clip(gy, 0.0, W - 1.001)
+        ar = jnp.arange(W, dtype=jnp.float32)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, None] - gx[..., None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, None] - gy[..., None]))
+        return jnp.einsum("nxy,npx,npy->np", win, wx, wy)
+
     def height_at(self, xy):
         """Bilinear ground height lookup; xy [..., 2] in world meters.
         World (0,0) maps to the grid's border corner like the reference
