@@ -34,8 +34,27 @@ jax.config.update("jax_enable_x64", False)
 # executable and writes the entry atomically (temp file + rename); if it
 # segfaults or deadlocks (alarm(300) backstop), only the grandchild dies.
 # Set UTRL_CACHE_WRITE=0 to disable writes entirely.
+#
+# CONSTRAINT (r2 ADVICE): the grandchild bypasses LRUCache.put — no file
+# lock, no -atime sidecar, no size accounting — so
+# jax_compilation_cache_max_size MUST stay -1 (never enable eviction with
+# this writer; its bookkeeping would be inconsistent). Asserted below.
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+assert jax.config.jax_compilation_cache_max_size == -1, (
+    "the forked cache writer (below) bypasses LRUCache size accounting; "
+    "eviction must stay disabled"
+)
+
+# stale .{key}.{pid}.tmp files accumulate when alarm(300) kills a mid-write
+# grandchild — sweep them at session start (r2 ADVICE)
+import glob as _glob  # noqa: E402
+
+for _tmp in _glob.glob(os.path.join(os.path.abspath(_cache_dir), ".*.tmp")):
+    try:
+        os.unlink(_tmp)
+    except OSError:
+        pass
 jax.config.update(
     "jax_persistent_cache_min_compile_time_secs",
     1e9 if os.environ.get("UTRL_CACHE_WRITE") == "0" else 1.0,

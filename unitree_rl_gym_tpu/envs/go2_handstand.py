@@ -186,15 +186,31 @@ class GO2HandstandEnv(LeggedEnv):
         )
         if isinstance(p_inv, float) and p_inv <= 0.0:
             return phys, commands
-        k_sel, k_th, k_yaw, k_q, k_h = jax.random.split(
-            jax.random.fold_in(key, 17), 5
+        k_sel, k_th, k_yaw, k_q, k_h, k_mid, k_w = jax.random.split(
+            jax.random.fold_in(key, 17), 7
         )
         inv = jax.random.uniform(k_sel, (n,)) < p_inv
+        # Of the RSI episodes, ``handstand_mid_frac`` start MID-TRANSITION:
+        # partially pitched with a forward pitch-rate — the states a
+        # kick-up actually passes through. Without these, the policy can
+        # hold from the at-rest inverted distribution yet never learns to
+        # BRAKE its own kick-up (r3 observation: 100% 11 s holds from
+        # inverted rest + 31% kick-ups, 0% kick-up-to-hold).
+        mid_frac = float(
+            getattr(self.cfg.init_state, "handstand_mid_frac", 0.5)
+        )
+        mid = inv & (jax.random.uniform(k_mid, (n,)) < mid_frac)
         # trunk pitched th about +y (nose down); g_z = -cos(th) > 0.8 for
-        # th in (143°, 217°)
-        th = jax.random.uniform(
+        # th in (143°, 217°). Hold states: th in [150°, 200°] at rest.
+        # Mid states: th in [40°, 150°] with pitch-rate toward inversion.
+        th_hold = jax.random.uniform(
             k_th, (n,), minval=jnp.deg2rad(150.0), maxval=jnp.deg2rad(200.0)
         )
+        th_mid = jax.random.uniform(
+            jax.random.fold_in(k_th, 1), (n,),
+            minval=jnp.deg2rad(40.0), maxval=jnp.deg2rad(150.0),
+        )
+        th = jnp.where(mid, th_mid, th_hold)
         yaw = jax.random.uniform(k_yaw, (n,), minval=-jnp.pi, maxval=jnp.pi)
         half_t, half_y = th * 0.5, yaw * 0.5
         # quat = rot_z(yaw) * rot_y(th), xyzw layout
@@ -203,19 +219,39 @@ class GO2HandstandEnv(LeggedEnv):
         q_inv = jnp.stack(
             (-sy * st, cy * st, sy * ct, cy * ct), axis=-1
         )
-        joints = self.pose_targets + jax.random.uniform(
+        # joints: handstand keyframe when near-inverted; lerp from the
+        # default crouch along the transition for mid states
+        alpha = jnp.clip(
+            (th - jnp.deg2rad(30.0)) / jnp.deg2rad(120.0), 0.0, 1.0
+        )[:, None]
+        pose_lerp = (
+            self.default_dof_pos
+            + alpha * (self.pose_targets - self.default_dof_pos)
+        )
+        joints = pose_lerp + jax.random.uniform(
             k_q, (n, self.robot.num_dof), minval=-0.05, maxval=0.05
         )
-        height = jax.random.uniform(k_h, (n,), minval=0.45, maxval=0.55)
+        height_hold = jax.random.uniform(k_h, (n,), minval=0.45, maxval=0.55)
+        height = jnp.where(
+            mid, 0.28 + (height_hold - 0.28) * alpha[:, 0], height_hold
+        )
+        # pitch-rate toward inversion for mid states (rotation is about
+        # the body y axis, so body ang vel = (0, w, 0))
+        w_pitch = jnp.where(
+            mid,
+            jax.random.uniform(k_w, (n,), minval=0.5, maxval=4.0),
+            0.0,
+        )
         base_pos = phys.base_pos.at[:, 2].set(
             jnp.where(inv, height, phys.base_pos[:, 2])
         )
         m = inv[:, None]
+        v_rsi = jnp.zeros_like(phys.v).at[:, 1].set(w_pitch)
         phys = eng.PhysicsState(
             base_pos=base_pos,
             base_quat=jnp.where(m, q_inv, phys.base_quat),
             joint_q=jnp.where(m, joints, phys.joint_q),
-            v=jnp.where(m, 0.0, phys.v),
+            v=jnp.where(m, v_rsi, phys.v),
         )
         return phys, commands
 

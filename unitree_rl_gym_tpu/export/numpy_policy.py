@@ -53,11 +53,20 @@ class NumpyPolicy:
     def _ensure_memory(self, batch):
         h = self.meta["rnn_hidden_size"]
         n = self.meta["rnn_num_layers"]
-        if self.hidden is None or self.hidden[0].shape[0] != batch:
+        if self.hidden is None:
+            # lazy init right after reset_memory(): adopt caller batch size
             self.hidden = [np.zeros((batch, h), np.float32)
                            for _ in range(n)]
             self.cell = [np.zeros((batch, h), np.float32)
                          for _ in range(n)]
+        elif self.hidden[0].shape[0] != batch:
+            # a silent zero-reset here would drop live recurrent state on a
+            # mixed-batch caller (e.g. batched eval followed by a
+            # single-stream call) — fail loudly instead (r2 ADVICE)
+            raise ValueError(
+                f"batch size changed {self.hidden[0].shape[0]} -> {batch} "
+                "with live LSTM state; call reset_memory() first"
+            )
 
     def _mlp(self, prefix, x):
         act = _ACTS[self.meta["activation"]]

@@ -305,10 +305,29 @@ class PPO:
                     fields.append(f[..., 0] if scalar else f)
                 return Batch(*fields[:-1]), fields[-1]
 
-            def mb_step(carry, idx):
+            # rsl_rl v1.0.2 shuffles ONCE per update (RolloutStorage.
+            # mini_batch_generator draws a single randperm reused by every
+            # epoch). Matching that exactly also keeps the gather out of
+            # the epoch/minibatch scans: one top-level [N]-permutation
+            # (fast gather path), then each minibatch is a contiguous
+            # dynamic slice — in-scan gathers hit XLA:TPU's serialized
+            # ~10 ns/element path (r3 terrain profile).
+            perm = jax.random.permutation(key, N)
+            packed_perm = packed[:, perm]
+            carry_perm = jax.tree.map(lambda h: h[perm], carry_start)
+
+            def mb_step(carry, i):
                 params, opt_state, lr, stats = carry
-                batch, dones_f = unpack(packed[:, idx])
-                carry0 = jax.tree.map(lambda h: h[idx], carry_start)
+                rows = jax.lax.dynamic_slice_in_dim(
+                    packed_perm, i * mb_envs, mb_envs, axis=1
+                )
+                batch, dones_f = unpack(rows)
+                carry0 = jax.tree.map(
+                    lambda h: jax.lax.dynamic_slice_in_dim(
+                        h, i * mb_envs, mb_envs, axis=0
+                    ),
+                    carry_perm,
+                )
                 dones = dones_f > 0.5
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
@@ -320,9 +339,8 @@ class PPO:
                 stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
                 return (params, opt_state, lr, stats), None
 
-            def epoch_step(carry, k):
-                perm = jax.random.permutation(k, N).reshape(nmb, mb_envs)
-                carry, _ = jax.lax.scan(mb_step, carry, perm)
+            def epoch_step(carry, _k):
+                carry, _ = jax.lax.scan(mb_step, carry, jnp.arange(nmb))
                 return carry, None
 
         else:
@@ -356,9 +374,19 @@ class PPO:
                     fields.append(f[:, 0] if scalar else f)
                 return Batch(*fields)
 
-            def mb_step(carry, idx):
+            # single shuffle per update (rsl_rl v1.0.2 semantics: one
+            # randperm reused across epochs) applied as ONE top-level
+            # row-gather; minibatches inside the scans are contiguous
+            # dynamic slices — in-scan gathers hit XLA:TPU's serialized
+            # ~10 ns/element path (r3 terrain profile)
+            perm = jax.random.permutation(key, T * N)
+            packed_perm = packed[perm]
+
+            def mb_step(carry, i):
                 params, opt_state, lr, stats = carry
-                batch = unpack(packed[idx])
+                batch = unpack(jax.lax.dynamic_slice_in_dim(
+                    packed_perm, i * mb_size, mb_size, axis=0
+                ))
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, lr)
@@ -369,14 +397,13 @@ class PPO:
                 stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
                 return (params, opt_state, lr, stats), None
 
-            def epoch_step(carry, k):
-                perm = jax.random.permutation(k, T * N).reshape(nmb, mb_size)
-                carry, _ = jax.lax.scan(mb_step, carry, perm)
+            def epoch_step(carry, _k):
+                carry, _ = jax.lax.scan(mb_step, carry, jnp.arange(nmb))
                 return carry, None
 
         zero = jnp.zeros(())
         init = (ts.params, ts.opt_state, ts.lr, (zero, zero, zero))
-        keys = jax.random.split(key, cfg.num_learning_epochs)
+        keys = jnp.arange(cfg.num_learning_epochs)
         (params, opt_state, lr, stats), _ = jax.lax.scan(
             epoch_step, init, keys
         )
