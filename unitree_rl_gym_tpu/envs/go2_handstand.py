@@ -18,6 +18,7 @@ import numpy as np
 from unitree_rl_gym_tpu.envs import rewards as R
 from unitree_rl_gym_tpu.envs.base_env import EnvState, LeggedEnv
 from unitree_rl_gym_tpu.physics import engine as eng
+from unitree_rl_gym_tpu.utils import math as tm
 from unitree_rl_gym_tpu.utils.config import LeggedRobotCfg, TrainCfg
 
 FRONT_JOINTS = ["FL_hip_joint", "FL_thigh_joint", "FL_calf_joint",
@@ -65,6 +66,7 @@ class GO2HandstandEnv(LeggedEnv):
         # feet split: feet_indices order is FL, FR, RL, RR (traversal order)
         self.front_feet_indices = self.feet_indices[jnp.asarray([0, 1])]
         self.hind_feet_indices = self.feet_indices[jnp.asarray([2, 3])]
+        self._mid_tables = self._build_mid_tables()
 
     def _reward_registry(self):
         return R.HANDSTAND_REWARDS
@@ -154,6 +156,48 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return obs, obs
 
+    def _build_mid_tables(self):
+        """Host-side FK tables over the kick-up pitch angle th:
+        (th_grid, base height with the lowest front foot ON the ground,
+        body-frame base->front-feet-mid offset [3]). Used by the
+        mid-transition RSI so sampled states are dynamically consistent —
+        front feet planted, base translating as a rotation about the
+        contact point — instead of floating states the policy can't brake
+        from (the r3 p4/p6 failure: braking practice from airborne states
+        transfers nothing to a real kick-up pivoting on the feet)."""
+        from unitree_rl_gym_tpu.physics import dynamics as dyn
+
+        ths = np.deg2rad(np.linspace(30.0, 210.0, 25)).astype(np.float32)
+        d0 = np.asarray(self.default_dof_pos)
+        hs = np.asarray(self.pose_targets)
+        front = np.asarray(self.front_feet_indices)
+        heights, r_body = [], []
+        for th in ths:
+            alpha = float(np.clip((th - np.deg2rad(30.0))
+                                  / np.deg2rad(120.0), 0.0, 1.0))
+            joints = d0 + alpha * (hs - d0)
+            quat = np.array([0.0, np.sin(th / 2), 0.0, np.cos(th / 2)],
+                            np.float32)
+            R_w, p_w, _, v_b = dyn.fk(
+                self.robot.dyn, jnp.zeros(3), jnp.asarray(quat),
+                jnp.asarray(joints), jnp.zeros(6 + self.robot.num_dof),
+            )
+            from unitree_rl_gym_tpu.physics import engine as eng
+
+            rb_pos, _ = eng.rb_states(self.robot.dyn, R_w, p_w, v_b)
+            feet = np.asarray(rb_pos)[front]       # [2, 3], base at origin
+            foot_r = 0.022                         # go2 foot sphere radius
+            heights.append(foot_r - float(feet[:, 2].min()))
+            mid = feet.mean(axis=0)                # world, base at origin
+            # rotate into body frame: r_b = R0^T * mid
+            R0 = np.asarray(tm.quat_to_rotmat(jnp.asarray(quat)))
+            r_body.append(R0.T @ mid)
+        return (
+            jnp.asarray(ths),
+            jnp.asarray(np.asarray(heights, np.float32)),
+            jnp.asarray(np.asarray(r_body, np.float32)),
+        )
+
     def _init_task_state(self):
         """EnvState.task_state = live RSI probability (annealed in step)."""
         p0 = float(getattr(self.cfg.init_state, "handstand_init_prob", 0.0))
@@ -231,22 +275,48 @@ class GO2HandstandEnv(LeggedEnv):
         joints = pose_lerp + jax.random.uniform(
             k_q, (n, self.robot.num_dof), minval=-0.05, maxval=0.05
         )
+        # mid-state base height: front feet planted on the ground (host
+        # FK table) — braking is only learnable with ground contact; a
+        # floating lerp (r3 p4/p6) teaches nothing transferable
+        th_g, h_g, r_g = self._mid_tables
+        h_feet = jnp.interp(th, th_g, h_g)
         height_hold = jax.random.uniform(k_h, (n,), minval=0.45, maxval=0.55)
         height = jnp.where(
-            mid, 0.28 + (height_hold - 0.28) * alpha[:, 0], height_hold
+            mid,
+            h_feet + jax.random.uniform(
+                jax.random.fold_in(k_h, 1), (n,), minval=0.0, maxval=0.02
+            ),
+            height_hold,
         )
         # pitch-rate toward inversion for mid states (rotation is about
-        # the body y axis, so body ang vel = (0, w, 0))
+        # the body y axis, so body ang vel = (0, w, 0)). Range calibrated
+        # to the policy's ACTUAL kick-up arrival rates: measured r3,
+        # crossings happen at 3.2-6.5 rad/s (median ~4.9).
+        w_lo, w_hi = getattr(
+            self.cfg.init_state, "handstand_mid_w", (2.0, 7.0)
+        )
         w_pitch = jnp.where(
             mid,
-            jax.random.uniform(k_w, (n,), minval=0.5, maxval=4.0),
+            jax.random.uniform(k_w, (n,), minval=w_lo, maxval=w_hi),
             0.0,
         )
+        # base linear velocity consistent with rotating about the planted
+        # front feet: v_b = -omega_b x r_b with omega_b = (0, w, 0) and
+        # r_b = base->feet-mid in body frame  =>  (-w*rz, 0, w*rx)
+        rx = jnp.interp(th, th_g, r_g[:, 0])
+        rz = jnp.interp(th, th_g, r_g[:, 2])
+        v_lin_x = jnp.where(mid, -w_pitch * rz, 0.0)
+        v_lin_z = jnp.where(mid, w_pitch * rx, 0.0)
         base_pos = phys.base_pos.at[:, 2].set(
             jnp.where(inv, height, phys.base_pos[:, 2])
         )
         m = inv[:, None]
-        v_rsi = jnp.zeros_like(phys.v).at[:, 1].set(w_pitch)
+        v_rsi = (
+            jnp.zeros_like(phys.v)
+            .at[:, 1].set(w_pitch)
+            .at[:, 3].set(v_lin_x)
+            .at[:, 5].set(v_lin_z)
+        )
         phys = eng.PhysicsState(
             base_pos=base_pos,
             base_quat=jnp.where(m, q_inv, phys.base_quat),
