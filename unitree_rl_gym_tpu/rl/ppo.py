@@ -135,6 +135,10 @@ class PPO:
                 extras["episode_reset_count"],
                 extras["episode_length_at_reset"],
                 rew,
+                # curriculum telemetry (zero when absent; legged_robot.py
+                # logs these via extras["episode"], :758-765)
+                extras.get("terrain_level_mean", jnp.zeros(())),
+                extras.get("max_command_x", jnp.zeros(())),
             )
             return (env_state, next_obs, next_critic, new_carry), (t, ep)
 
@@ -147,6 +151,8 @@ class PPO:
             "reset_count": jnp.sum(ep[1]),
             "episode_length_sum": jnp.sum(ep[2]),
             "mean_step_reward": jnp.mean(ep[3]),
+            "terrain_level_mean": ep[4][-1],
+            "max_command_x": ep[5][-1],
         }
         return env_state, obs, critic_obs, carry, transitions, carry_start, ep_stats
 

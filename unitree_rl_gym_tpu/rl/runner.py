@@ -199,7 +199,7 @@ class OnPolicyRunner:
             f"kl {float(metrics['kl']):.4f} | lr {float(metrics['lr']):.2e}"
         )
         print(msg, flush=True)
-        self._curves.append({
+        row = {
             "it": it,
             "mean_step_reward": round(float(metrics["mean_step_reward"]), 6),
             "mean_episode_length": round(mean_ep_len, 2),
@@ -207,7 +207,17 @@ class OnPolicyRunner:
             "kl": round(float(metrics["kl"]), 6),
             "fps": round(fps, 1),
             "episode_rew": {k: round(v, 6) for k, v in ep_rews.items()},
-        })
+        }
+        # curriculum telemetry (extras["episode"] schema,
+        # legged_robot.py:758-765): only meaningful when the env runs the
+        # corresponding curriculum
+        if getattr(self.env, "terrain", None) is not None:
+            row["terrain_level"] = round(
+                float(metrics["terrain_level_mean"]), 4
+            )
+        if self.env.cfg.commands.curriculum:
+            row["max_command_x"] = round(float(metrics["max_command_x"]), 4)
+        self._curves.append(row)
         if self._writer is not None:
             w = self._writer
             for name, v in ep_rews.items():
@@ -218,6 +228,11 @@ class OnPolicyRunner:
             w.add_scalar("Perf/total_fps", fps, it)
             w.add_scalar("Train/mean_reward", float(metrics["mean_step_reward"]), it)
             w.add_scalar("Train/mean_episode_length", mean_ep_len, it)
+            if getattr(self.env, "terrain", None) is not None:
+                w.add_scalar(
+                    "Episode/terrain_level",
+                    float(metrics["terrain_level_mean"]), it,
+                )
 
     # ------------------------------------------------------------------
     # checkpointing (msgpack pytree; §5.4 semantics)
