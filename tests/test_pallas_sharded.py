@@ -75,3 +75,51 @@ def test_runner_trains_with_sharded_env_axis(tmp_path, monkeypatch):
         assert bool(jnp.all(jnp.isfinite(ts.lr)))
     finally:
         pmesh.set_env_mesh(None)
+
+
+def test_pallas_sharded_terrain_gh_and_pxy():
+    """Terrain operands under shard_map: the gh heights input rides
+    PartitionSpec("env") into the kernel and the end-of-step point-xy
+    carry output (aux["p_xy"], the r3 lag-free terrain formulation) comes
+    back sharded and matching the SoA reference."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 (virtual) devices")
+    import numpy as np
+
+    from unitree_rl_gym_tpu.envs.base_env import LeggedEnv
+    from unitree_rl_gym_tpu.envs.go2 import go2_rough_cfg
+    from unitree_rl_gym_tpu.parallel import mesh as pmesh
+    from unitree_rl_gym_tpu.physics import backend as pb
+    from unitree_rl_gym_tpu.physics import pallas_step
+
+    n = 2 * 8
+    cfg = go2_rough_cfg()
+    cfg.env.num_envs = n
+    cfg.terrain.mesh_type = "heightfield"
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.terrain_length = 4.0
+    cfg.terrain.terrain_width = 4.0
+    cfg.terrain.border_size = 2.0
+    env = LeggedEnv(cfg)
+    state, _ = env.reset_all(jax.random.PRNGKey(0))
+    target = env.default_dof_pos[None, :] * jnp.ones((n, 1))
+    mesh = pmesh.make_mesh(2)
+
+    gh = pb.sample_point_heights(env.robot.dyn, state.phys, env.ground_fn)
+    args = (env.robot.dyn, env.cparams, env.pd, cfg.sim.dt, 2,
+            state.phys, target, state.friction, state.mass_scale,
+            env.m_eff_n, env.m_eff_t)
+    s_soa, aux_soa = pb.control_step(*args, ground_fn=env.ground_fn,
+                                     backend="soa")
+    s_pal, aux_pal = pallas_step.control_step_pallas_sharded(
+        *args, mesh=mesh, interpret=True, gh=gh
+    )
+    assert "p_xy" in aux_pal and aux_pal["p_xy"].shape == gh.shape + (2,)
+    np.testing.assert_allclose(
+        np.asarray(s_soa.base_pos), np.asarray(s_pal.base_pos), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_soa["p_xy"]), np.asarray(aux_pal["p_xy"]), atol=5e-3
+    )
+    assert len(s_pal.joint_q.sharding.device_set) == 2
