@@ -75,6 +75,7 @@ def _balanced_hold_state(n_settle: int = 120):
     cfg.domain_rand.push_robots = False
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
+    cfg.domain_rand.randomize_contact_stiffness = False
     cfg.init_state.handstand_init_prob = 1.0
     cfg.init_state.handstand_init_prob_final = 1.0
     env = GO2HandstandEnv(cfg)

@@ -45,6 +45,7 @@ def _eval_env(task):
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
     cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_contact_stiffness = False
     cfg.env.test = True
     return task_registry.get_task_class(task)(cfg)
 
@@ -118,6 +119,7 @@ def test_handstand_policy_holds_inversion():
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
     cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_contact_stiffness = False
     cfg.env.test = True
     cfg.init_state.handstand_init_prob = 1.0
     cfg.init_state.handstand_init_prob_final = 1.0
@@ -165,6 +167,7 @@ def test_handstand_policy_kicks_up_from_upright():
     cfg.domain_rand.randomize_friction = False
     cfg.domain_rand.randomize_base_mass = False
     cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_contact_stiffness = False
     cfg.env.test = True
     cfg.init_state.handstand_init_prob = 0.0
     cfg.init_state.handstand_init_prob_final = 0.0

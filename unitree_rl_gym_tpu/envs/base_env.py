@@ -96,6 +96,10 @@ class EnvState(struct.PyTreeNode):
     # Handstand stores the annealed RSI probability here
     # (go2_handstand.py _init_task_state / step).
     task_state: Optional[jax.Array] = None
+    # [N] per-env contact-stiffness DR scale (None when the DR is off, so
+    # tasks that don't use it keep their exact program/compile cache).
+    # Fixed per env at creation like the friction buckets.
+    cstiff: Optional[jax.Array] = None
 
 
 class LeggedEnv:
@@ -154,6 +158,9 @@ class LeggedEnv:
             clip_torque=True,
         )
         self.cparams = ct.ContactParams(
+            iterations=cfg.sim.contact_iterations,
+            baumgarte=cfg.sim.contact_baumgarte,
+            max_depenetration_velocity=cfg.sim.max_depenetration_velocity,
             terrain_friction=cfg.terrain.static_friction,
             max_angular_velocity=cfg.asset.max_angular_velocity,
             max_linear_velocity=cfg.asset.max_linear_velocity,
@@ -345,12 +352,15 @@ class LeggedEnv:
         """Re-center every env's heightfield window on its current base
         position and clear staleness. MUST be called at program top level
         (outside any lax.scan — the fetch is a gather, see
-        TerrainGrid.window_at): once per rollout by the PPO driver, every
-        step by eval loops via step's ``refresh_terrain=True`` default.
-        No-op for flat-ground tasks."""
+        TerrainGrid.window_at): every ``terrain.window_refresh_steps``
+        control steps by the PPO driver (which chunks its rollout scan
+        around these calls), every step by eval loops via step's
+        ``refresh_terrain=True`` default. No-op for flat-ground tasks."""
         if self.terrain is None:
             return state
-        win, corner = self.grid.window_at(state.phys.base_pos[:, :2])
+        win, corner = self.grid.window_at(
+            state.phys.base_pos[:, :2], W=self.cfg.terrain.window_size
+        )
         return state.replace(
             win=win, win_corner=corner,
             win_stale=jnp.zeros((self.num_envs,), bool),
@@ -509,6 +519,13 @@ class LeggedEnv:
             mass_scale = 1.0 + added / self.robot.dyn.base_mass
         else:
             mass_scale = jnp.ones((N,))
+        cstiff = None
+        if getattr(dr, "randomize_contact_stiffness", False):
+            cstiff = jax.random.uniform(
+                jax.random.fold_in(k_mass, 7), (N,),
+                minval=dr.contact_stiffness_range[0],
+                maxval=dr.contact_stiffness_range[1],
+            )
 
         episode_length = (
             jax.random.randint(k_len, (N,), 0, self.max_episode_length)
@@ -543,6 +560,7 @@ class LeggedEnv:
                 if self.terrain is not None else None
             ),
             task_state=task_state,
+            cstiff=cstiff,
         )
         state = self.refresh_terrain(state)
         state, obs, *_ = self.step(state, jnp.zeros((N, self.num_actions)))
@@ -578,7 +596,7 @@ class LeggedEnv:
             state.friction, state.mass_scale, m_n, m_t,
             ground_fn=self.ground_fn,
             backend=getattr(cfg.sim, "backend", "auto"),
-            gh=state.gh,
+            gh=state.gh, cstiff=state.cstiff,
         )
         state = state.replace(phys=phys, actions=actions)
 

@@ -377,6 +377,13 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
     # fallen-band termination grace (see _check_termination): long enough
     # to cross the sideways band during a kick-up from upright
     cfg.env.fallen_grace_s = 1.5
+    # Contact-stiffness DR (r4, no reference analog): the r3 hold
+    # exploited the impulse solver's soft de-penetration response (base
+    # bounced 0.15-0.35 m on the contacts) and died under MuJoCo's
+    # stiffer solver (doc/handstand_r3_notes.md). Randomizing the
+    # per-env contact stiffness x0.5-3.0 forces holds that don't tune
+    # themselves to one exact contact response.
+    cfg.domain_rand.randomize_contact_stiffness = True
     cfg.init_state.default_joint_angles = {
         "FL_hip_joint": 0.3, "FR_hip_joint": -0.3,
         "FL_thigh_joint": 1.2, "FR_thigh_joint": 1.2,

@@ -26,6 +26,7 @@ from unitree_rl_gym_tpu.physics import engine as eng
 from unitree_rl_gym_tpu.physics import soa
 
 _SOA_CACHE = {}
+_PROBE_CACHE = {}
 
 
 def soa_model_for(model: dyn.DynModel) -> soa.SoAModel:
@@ -35,20 +36,83 @@ def soa_model_for(model: dyn.DynModel) -> soa.SoAModel:
     return _SOA_CACHE[key]
 
 
+def pallas_probe_ok(model, cparams, pd, sim_dt, decimation, terrain,
+                    has_cstiff) -> bool:
+    """AOT-compile the fused kernel once per (model, operand set) and cache
+    the verdict. ``pallas_step._fits_vmem`` is a calibrated estimate;
+    Mosaic's scoped-VMEM check at compile time is the ground truth — a
+    model that passes the estimate but overflows VMEM would otherwise
+    blow up mid-way through the first train-step compile with a raw
+    Mosaic error. Probing here turns that into a warning + graceful
+    fallback to the SoA XLA backend. The probe program is kernel-only
+    (much smaller than the train program) and hits the persistent
+    compilation cache on reruns. Disable with UTRL_PALLAS_PROBE=0."""
+    import os
+    import warnings
+
+    if os.environ.get("UTRL_PALLAS_PROBE", "1") == "0":
+        return True
+    key = (id(model), bool(terrain), bool(has_cstiff), int(decimation))
+    ok = _PROBE_CACHE.get(key)
+    if ok is not None:
+        return ok
+    from unitree_rl_gym_tpu.physics import pallas_step
+
+    m = soa_model_for(model)
+    N = pallas_step.BLOCK_ENVS
+    state = eng.PhysicsState(
+        base_pos=jnp.zeros((N, 3)),
+        base_quat=jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0]), (N, 4)
+        ),
+        joint_q=jnp.zeros((N, m.nj)),
+        v=jnp.zeros((N, m.nv)),
+    )
+    kwargs = {}
+    if terrain:
+        kwargs["gh"] = jnp.zeros((N, m.ncp))
+    if has_cstiff:
+        kwargs["cstiff"] = jnp.ones((N,))
+
+    def fn(state, target, friction, mass_scale, kwargs):
+        return pallas_step.control_step_pallas(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, np.ones(m.ncp), np.ones(m.ncp), **kwargs,
+        )
+
+    try:
+        jax.jit(fn).lower(
+            state, jnp.zeros((N, m.nj)), jnp.ones((N,)), jnp.ones((N,)),
+            kwargs,
+        ).compile()
+        ok = True
+    except Exception as e:  # Mosaic VMEM overflow et al.
+        warnings.warn(
+            "pallas physics kernel failed its probe compile "
+            f"({type(e).__name__}); falling back to the SoA XLA backend. "
+            f"Details: {str(e)[:500]}"
+        )
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
 def control_step_vmap(model, cparams, pd, sim_dt, decimation, state,
                       target, friction, mass_scale, m_eff_n, m_eff_t,
-                      ground_fn=None):
-    def one_env(phys, tgt, fric, mass):
+                      ground_fn=None, cstiff=None):
+    def one_env(phys, tgt, fric, mass, cs):
         return eng.control_step(
             model, cparams, pd, sim_dt, decimation, phys, tgt, fric, mass,
-            m_eff_n, m_eff_t, ground_fn=ground_fn,
+            m_eff_n, m_eff_t, ground_fn=ground_fn, cstiff=cs,
         )
-    return jax.vmap(one_env)(state, target, friction, mass_scale)
+    if cstiff is None:
+        cstiff = jnp.ones_like(friction)
+    return jax.vmap(one_env)(state, target, friction, mass_scale, cstiff)
 
 
 def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
                      target, friction, mass_scale, m_eff_n, m_eff_t,
-                     ground_fn=None, want_pxy=False):
+                     ground_fn=None, want_pxy=False, cstiff=None):
     """Batched SoA control step as a plain XLA program (env batch =
     trailing dim of every scalar). Used on CPU/tests and wherever the
     Pallas kernel doesn't apply (terrain lookups, odd batch sizes).
@@ -75,7 +139,7 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
             m, cparams, kp, kd, lim, pd.clip_torque, sim_dt,
             tuple(unstack(bp)), tuple(unstack(bq)), unstack(q), unstack(v),
             unstack(target), friction, mass_scale, m_eff_n, m_eff_t,
-            ground_fn=ground_fn,
+            ground_fn=ground_fn, cstiff=cstiff,
         )
         out = (
             jnp.stack(bp2, -1), jnp.stack(bq2, -1), jnp.stack(q2, -1),
@@ -136,7 +200,7 @@ def sample_point_heights(model, state, ground_fn):
 
 def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                  friction, mass_scale, m_eff_n, m_eff_t, ground_fn=None,
-                 backend="auto", gh=None):
+                 backend="auto", gh=None, cstiff=None):
     """Dispatch. ``auto``: Pallas on TPU for tile-able batches — flat
     ground or heightfield terrain — under ``shard_map`` when the env axis
     is sharded over a registered mesh (parallel/mesh.py); SoA-XLA
@@ -171,6 +235,13 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
                 backend = "pallas"
             else:
                 backend = "soa"
+            # the VMEM-fit estimate is a heuristic; verify it with one
+            # cached kernel-only probe compile and degrade gracefully
+            if backend in ("pallas", "pallas_shmap") and not pallas_probe_ok(
+                model, cparams, pd, sim_dt, decimation, terrain,
+                cstiff is not None,
+            ):
+                backend = "soa"
         else:
             backend = "soa"
     if backend in ("pallas", "pallas_shmap"):
@@ -182,18 +253,20 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
             return pallas_step.control_step_pallas_sharded(
                 model, cparams, pd, sim_dt, decimation, state, target,
                 friction, mass_scale, m_eff_n, m_eff_t, mesh=mesh, gh=gh,
+                cstiff=cstiff,
             )
         return pallas_step.control_step_pallas(
             model, cparams, pd, sim_dt, decimation, state, target,
-            friction, mass_scale, m_eff_n, m_eff_t, gh=gh,
+            friction, mass_scale, m_eff_n, m_eff_t, gh=gh, cstiff=cstiff,
         )
     if backend == "soa":
         return control_step_soa(
             model, cparams, pd, sim_dt, decimation, state, target,
             friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
-            want_pxy=terrain,
+            want_pxy=terrain, cstiff=cstiff,
         )
     return control_step_vmap(
         model, cparams, pd, sim_dt, decimation, state, target,
         friction, mass_scale, m_eff_n, m_eff_t, ground_fn=ground_fn,
+        cstiff=cstiff,
     )

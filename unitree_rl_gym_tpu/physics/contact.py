@@ -80,6 +80,9 @@ def contact_solve(
     friction_env,     # scalar per-env DR shape friction
     dt: float,
     ground_fn=None,   # callable xy[...,2] -> ground height (None = z=0 plane)
+    stiff_scale=1.0,  # per-env contact-stiffness DR scale on the
+                      # de-penetration bias (DomainRandCfg.
+                      # randomize_contact_stiffness)
 ):
     """Run the impulse solver; returns (v_new [nv], cf_rb [nrb,3])."""
     ncp = model.cp_pos.shape[0]
@@ -91,7 +94,7 @@ def contact_solve(
     ground_height = ground_fn(x[:, :2]) if ground_fn is not None else 0.0
     phi = model.cp_radius + ground_height - x[:, 2]
     active = phi > 0.0
-    v_bias = jnp.minimum(
+    v_bias = stiff_scale * jnp.minimum(
         params.baumgarte * jnp.maximum(phi, 0.0) / dt,
         params.max_depenetration_velocity,
     )

@@ -2,11 +2,11 @@
 
 TPU-native replacement for the reference's Isaac Gym / PhysX simulation
 backend (SURVEY.md §1.5; ``legged_robot.py:627-639`` drives it at 200 Hz).
-Instead of an LCP contact solver we use a smooth penalty contact model
-(see :mod:`unitree_rl_gym_tpu.physics.contact`) so that the entire
-``torques -> forward dynamics -> integrate`` substep is one fused, jittable,
-branch-free function, `vmap`-ed over thousands of environments and sharded
-over a device mesh by the caller.
+Instead of PhysX's TGS LCP we use a fixed-iteration velocity-level impulse
+PGS contact solver (see :mod:`unitree_rl_gym_tpu.physics.contact`) so that
+the entire ``torques -> forward dynamics -> contact solve -> integrate``
+substep is one fused, jittable, branch-free function, `vmap`-ed over
+thousands of environments and sharded over a device mesh by the caller.
 
 Algorithmic layout per substep (single env; batch via vmap):
   1. forward kinematics  — body poses in world + spatial velocities (body coords)

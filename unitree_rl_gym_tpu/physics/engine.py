@@ -64,6 +64,7 @@ def control_step(
     m_eff_n,           # [ncp] contact preconditioner (build-time constant)
     m_eff_t,           # [ncp]
     ground_fn=None,    # terrain height lookup (None = z=0 plane)
+    cstiff=None,       # scalar contact-stiffness DR scale (None = 1.0)
 ):
     """Advance one control step (= ``decimation`` physics substeps).
 
@@ -96,6 +97,7 @@ def control_step(
             model, cparams, E_up, r_up, R_w, p_w, Hinv,
             v_free, m_eff_n, m_eff_t, friction_env, sim_dt,
             ground_fn=ground_fn,
+            stiff_scale=1.0 if cstiff is None else cstiff,
         )
         # PhysX clamps joint velocities to the dof_props limit
         # (legged_robot.py:457-464 captures it from gym); required for

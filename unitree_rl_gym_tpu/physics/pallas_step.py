@@ -14,12 +14,15 @@ BE=1024) and all the scalar SoA algebra of :mod:`physics.soa` lowers to
 full-width VPU ops. Contact-point quantities are ``(ncp, 8, BE//8)``.
 
 Grid: 1-D over env blocks; blocks are independent (env-parallel).
-Terrain: the heightfield never enters the kernel — per-point ground
-heights are sampled once per control step in XLA (bilinear HBM gather at
-step-start point positions, backend.sample_point_heights) and passed as a
-dense (ncp, 8, BE//8) operand, frozen across the decimation loop. Points
-move O(v*dt*decimation) ~ 2 cm between samples, well inside the soft
-contact regime the Baumgarte stabilization absorbs.
+Terrain: the heightfield never enters the kernel. Per-point ground heights
+arrive as a dense ``gh`` operand (ncp, 8, BE//8), frozen across the
+decimation loop (points move O(v*dt*decimation) ~ 2 cm between control
+steps, inside the soft-contact regime the Baumgarte stabilization
+absorbs). The env computes ``gh`` via the lag-1 carry: the kernel outputs
+end-of-step point xy (``aux["p_xy"]``), and the env looks heights up in
+per-env resident heightfield windows with a tent-weight einsum
+(envs/base_env.py step; TerrainGrid.height_in_window) — no in-scan
+heightfield gather and no extra XLA FK anywhere (doc/profile_r3.md).
 """
 
 from __future__ import annotations
@@ -90,11 +93,15 @@ def _from_tiles(t, N):
 
 
 def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
-            has_gh, *refs):
+            has_gh, has_cs, *refs):
     (bp_ref, bq_ref, q_ref, v_ref, tgt_ref, fric_ref, mass_ref,
      pc_ref) = refs[:8]
-    gh_ref = refs[8] if has_gh else None
-    out_refs = refs[8 + int(has_gh):]
+    k = 8
+    gh_ref = refs[k] if has_gh else None
+    k += int(has_gh)
+    cs_ref = refs[k] if has_cs else None
+    k += int(has_cs)
+    out_refs = refs[k:]
     (obp, obq, oq, ov, otau, ocf, orbp, orbv) = out_refs[:8]
     opxy = out_refs[8] if has_gh else None
     nj, nv, ncp, nrb = m.nj, m.nv, m.ncp, m.nrb
@@ -118,10 +125,12 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
 
     zero = jnp.zeros(S, jnp.float32)
     zero_p = jnp.zeros((ncp,) + S, jnp.float32)
-    # terrain: per-point ground heights sampled once per control step
-    # outside the kernel (backend.sample_point_heights); frozen across the
+    # terrain: per-point ground heights computed once per control step
+    # outside the kernel (the env's lag-1 p_xy carry); frozen across the
     # decimation loop (points move O(v*dt*decimation) ~ cm between samples)
     gh = gh_ref[...] if has_gh else None
+    # per-env contact-stiffness DR scale (DomainRandCfg)
+    cs = cs_ref[0] if has_cs else None
 
     def body(_, carry):
         bp, bq, q, v, _tau, _pn, _ptx, _pty = carry
@@ -129,6 +138,7 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
             m, params, kp, kd, lim, clip_torque, sim_dt,
             bp, bq, list(q), list(v), list(target), fric, mass,
             None, None, ground_fn=None, pconsts=pconsts, gh_frozen=gh,
+            cstiff=cs,
         )
         return (
             tuple(bp2), tuple(bq2), tuple(q2), tuple(v2), tuple(tau),
@@ -175,7 +185,7 @@ def _kernel(m, params, kp, kd, lim, clip_torque, sim_dt, decimation,
 
 def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
                         target, friction, mass_scale, m_eff_n, m_eff_t,
-                        interpret=False, gh=None):
+                        interpret=False, gh=None, cstiff=None):
     """Pallas-backed drop-in for engine.control_step over the whole batch.
 
     ``interpret=True`` runs the kernel through the Pallas interpreter
@@ -196,6 +206,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     interpret = interpret or os.environ.get("UTRL_PALLAS_INTERPRET") == "1"
     N = state.joint_q.shape[0]
     has_gh = gh is not None
+    has_cs = cstiff is not None
     # interpret mode (CPU tests) has no (8,128) tile constraint — run the
     # whole batch as one block so small test batches work.
     BE = N if (interpret and N % 8 == 0) else _pick_block(N, m, has_gh)
@@ -231,6 +242,8 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     ]
     if has_gh:
         inputs.append(_to_tiles(gh, N))          # (ncp, 8, N//8)
+    if has_cs:
+        inputs.append(_to_tiles(cstiff, N))      # (1, 8, N//8)
 
     def spec(k):
         return pl.BlockSpec(
@@ -242,7 +255,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
             (6 * ncp, 1, 1), lambda i: (0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-    ] + ([spec(ncp)] if has_gh else [])
+    ] + ([spec(ncp)] if has_gh else []) + ([spec(1)] if has_cs else [])
     out_dims = [3, 4, nj, nv, nj, nrb * 3, nrb * 3, nrb * 3]
     if has_gh:
         out_dims.append(2 * ncp)                 # end-of-step point xy
@@ -253,7 +266,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 
     kern = partial(
         _kernel, m, cparams, kp, kd, lim, pd.clip_torque, sim_dt,
-        decimation, has_gh,
+        decimation, has_gh, has_cs,
     )
     flops_per_env = 60_000 * decimation
     outs = pl.pallas_call(
@@ -295,7 +308,7 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
 def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
                                 state, target, friction, mass_scale,
                                 m_eff_n, m_eff_t, mesh, interpret=False,
-                                gh=None):
+                                gh=None, cstiff=None):
     """The fused kernel under ``jax.shard_map`` over the ("env",) mesh: one
     kernel instance per chip on its local env block (parallel/mesh.py). All
     batched operands ride PartitionSpec("env") (including the optional
@@ -306,30 +319,27 @@ def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
     from jax.sharding import PartitionSpec as P
 
     es = P("env")
+    # optional per-env operands (terrain heights, contact-stiffness DR)
+    # ride the same env sharding; absent ones stay out of the signature so
+    # existing programs/caches are untouched
+    opt = {}
+    if gh is not None:
+        opt["gh"] = gh
+    if cstiff is not None:
+        opt["cstiff"] = cstiff
 
-    if gh is None:
-        def local_step(state, target, friction, mass_scale):
-            return control_step_pallas(
-                model, cparams, pd, sim_dt, decimation, state, target,
-                friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
-            )
-        in_specs = (es, es, es, es)
-        args = (state, target, friction, mass_scale)
-    else:
-        def local_step(state, target, friction, mass_scale, gh):
-            return control_step_pallas(
-                model, cparams, pd, sim_dt, decimation, state, target,
-                friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
-                gh=gh,
-            )
-        in_specs = (es, es, es, es, es)
-        args = (state, target, friction, mass_scale, gh)
+    def local_step(state, target, friction, mass_scale, opt):
+        return control_step_pallas(
+            model, cparams, pd, sim_dt, decimation, state, target,
+            friction, mass_scale, m_eff_n, m_eff_t, interpret=interpret,
+            **opt,
+        )
 
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=in_specs,
+        in_specs=(es, es, es, es, es),
         out_specs=(es, es),
         check_vma=False,
     )
-    return fn(*args)
+    return fn(state, target, friction, mass_scale, opt)

@@ -683,6 +683,7 @@ def contact_solve_s(
     ground_fn=None,
     pconsts=None,
     gh_frozen=None,
+    cstiff=None,
 ):
     """PGS impulse solve (contact.contact_solve semantics). Returns
     (v_new [nv scalars], pn (ncp,)+S, pt ((ncp,)+S x2)).
@@ -734,6 +735,9 @@ def contact_solve_s(
         params.baumgarte * jnp.maximum(phi, 0.0) / dt,
         params.max_depenetration_velocity,
     )
+    if cstiff is not None:
+        # per-env contact-stiffness DR scale (broadcast over the point axis)
+        v_bias = v_bias * cstiff[None]
 
     # block-Jacobi scaling: 1 / #active points on the same dyn body
     n_active = _scatter_sum(m, activef)
@@ -822,7 +826,7 @@ def contact_solve_s(
 def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
               bp, bq, q, v, target, friction_env, mass_scale,
               m_eff_n, m_eff_t, ground_fn=None, pconsts=None,
-              gh_frozen=None):
+              gh_frozen=None, cstiff=None):
     """One physics substep (engine.control_step inner body). All args/returns
     are scalar lists / tuples; shapes ride along implicitly."""
     R_w, p_w, E_up, v_b = fk_s(m, bp, bq, q, v)
@@ -855,7 +859,7 @@ def substep_s(m, params, pd_kp, pd_kd, pd_lim, clip_torque, sim_dt,
     v_new, pn, pt = contact_solve_s(
         m, params, E_up, R_w, p_w, v_b, chol, v_free,
         m_eff_n, m_eff_t, friction_env, sim_dt, ground_fn=ground_fn,
-        pconsts=pconsts, gh_frozen=gh_frozen,
+        pconsts=pconsts, gh_frozen=gh_frozen, cstiff=cstiff,
     )
 
     # PhysX-parity joint velocity clamp (engine.control_step has the same):

@@ -30,6 +30,7 @@ def play(args):
     env_cfg.noise.add_noise = False
     env_cfg.domain_rand.randomize_friction = False
     env_cfg.domain_rand.push_robots = False
+    env_cfg.domain_rand.randomize_contact_stiffness = False
     env_cfg.env.test = True
 
     env, _ = task_registry.make_env(name=args.task, args=args, env_cfg=env_cfg)

@@ -69,6 +69,20 @@ class TerrainCfg:
     num_cols: int = 20
     terrain_proportions: List[float] = _l(0.1, 0.1, 0.35, 0.25, 0.2)
     slope_treshold: float = 0.75
+    # Per-env resident heightfield windows (the TPU formulation): in-scan
+    # height lookups read a [W, W] window carried in EnvState via a
+    # tent-weight einsum instead of gathering from the global heightfield
+    # (in-scan gathers serialize at ~10 ns/element on XLA:TPU,
+    # doc/profile_r3.md). The einsum is O(W^2) per contact point, so W is
+    # kept as small as the refresh cadence allows: PPO chunks its rollout
+    # scan and re-centers windows every `window_refresh_steps` control
+    # steps at program top level (fast gather path). Safety margin at the
+    # defaults: half-width W/2 * horizontal_scale = 0.8 m vs worst-case
+    # contact-point reach from base xy (~0.5 m) plus drift over 8 steps at
+    # the 1.5 m/s push-cap velocity (~0.24 m); out-of-window lookups clamp
+    # to the window edge (TerrainGrid.height_in_window).
+    window_size: int = 16
+    window_refresh_steps: int = 8
 
 
 @dataclass
@@ -142,6 +156,16 @@ class DomainRandCfg:
     push_robots: bool = True
     push_interval_s: float = 15.0
     max_push_vel_xy: float = 1.0
+    # Contact-stiffness DR (no reference analog — PhysX's solver is not
+    # randomizable; ours is): per-env scale on the contact solver's
+    # de-penetration bias (Baumgarte gain AND velocity cap together, see
+    # physics/contact.py). Fixed per env at creation like the friction
+    # buckets. Policies trained with this cannot tune themselves to one
+    # exact contact response — the r3 handstand hold exploited the
+    # impulse solver's softness and died under MuJoCo's stiffer solver
+    # (doc/handstand_r3_notes.md); this is the sim-side fix.
+    randomize_contact_stiffness: bool = False
+    contact_stiffness_range: Tuple[float, float] = (0.5, 3.0)
 
 
 def base_reward_scales() -> Dict[str, float]:
@@ -222,11 +246,15 @@ class SimCfg:
     # physics backend: "auto" (fused Pallas kernel on TPU + flat ground,
     # batched SoA XLA otherwise), or force "pallas" | "soa" | "vmap"
     backend: str = "auto"
-    # penalty-contact solver constants (TPU-native replacement for the
-    # reference's PhysX block, legged_robot_config.py:231-242)
-    contact_stiffness: float = 10_000.0
-    contact_damping: float = 200.0
-    slip_vel: float = 0.1
+    # impulse-PGS contact solver knobs (physics/contact.py ContactParams;
+    # the TPU-native replacement for the reference's PhysX block,
+    # legged_robot_config.py:231-242). `contact_iterations` doubles
+    # PhysX's num_position_iterations=4 by default;
+    # `max_depenetration_velocity` is the knob PhysX exposes and the
+    # reference sets to 1.0 (legged_robot_config.py:239).
+    contact_iterations: int = 8
+    contact_baumgarte: float = 0.2
+    max_depenetration_velocity: float = 1.0
 
 
 @dataclass
