@@ -313,27 +313,23 @@ class PPO:
 
             # rsl_rl v1.0.2 shuffles ONCE per update (RolloutStorage.
             # mini_batch_generator draws a single randperm reused by every
-            # epoch). Matching that exactly also keeps the gather out of
-            # the epoch/minibatch scans: one top-level [N]-permutation
-            # (fast gather path), then each minibatch is a contiguous
-            # dynamic slice — in-scan gathers hit XLA:TPU's serialized
-            # ~10 ns/element path (r3 terrain profile).
-            perm = jax.random.permutation(key, N)
-            packed_perm = packed[:, perm]
-            carry_perm = jax.tree.map(lambda h: h[perm], carry_start)
+            # epoch): one [N]-permutation, reshaped so each scan step sees
+            # its minibatch's env indices. Unlike the MLP path, the
+            # minibatch axis here is axis 1 of the [T, N, D] packed tensor,
+            # so the in-scan column gather ``packed[:, idx]`` copies
+            # contiguous D-sized rows (~1.2 KB DMAs — the efficient
+            # row-gather path, NOT the serialized element-gather path).
+            # The alternative (permute the whole tensor at top level +
+            # contiguous dynamic slices, the MLP mechanism) re-lays-out the
+            # full ~113 MB packed tensor along a strided axis and measured
+            # 3.5 ms/iter SLOWER on g1/h1_2 @4096 (35.2 vs 31.7 ms/iter —
+            # the r3 regression, recovered in r4).
+            perm = jax.random.permutation(key, N).reshape(nmb, mb_envs)
 
-            def mb_step(carry, i):
+            def mb_step(carry, idx):
                 params, opt_state, lr, stats = carry
-                rows = jax.lax.dynamic_slice_in_dim(
-                    packed_perm, i * mb_envs, mb_envs, axis=1
-                )
-                batch, dones_f = unpack(rows)
-                carry0 = jax.tree.map(
-                    lambda h: jax.lax.dynamic_slice_in_dim(
-                        h, i * mb_envs, mb_envs, axis=0
-                    ),
-                    carry_perm,
-                )
+                batch, dones_f = unpack(packed[:, idx])
+                carry0 = jax.tree.map(lambda h: h[idx], carry_start)
                 dones = dones_f > 0.5
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
@@ -346,7 +342,7 @@ class PPO:
                 return (params, opt_state, lr, stats), None
 
             def epoch_step(carry, _k):
-                carry, _ = jax.lax.scan(mb_step, carry, jnp.arange(nmb))
+                carry, _ = jax.lax.scan(mb_step, carry, perm)
                 return carry, None
 
         else:
