@@ -6,6 +6,7 @@ operating points (BASELINE.md / BASELINE.json configs):
 
   * go2          — flagship: 4096 envs, MLP [512,256,128], 200 Hz dec 4
   * g1           — humanoid: LSTM-64 recurrent policy (TBPTT update path)
+  * h1           — BASELINE config #3: 19-DoF H1 humanoid, 10 actions, LSTM
   * h1_2         — 400 Hz sim dt 0.0025, decimation 8 (2x physics work)
   * go2_terrain  — heightfield terrain curriculum on the Pallas fast path
   * h1_2_terrain — BASELINE config #4 as written: H1_2 + terrain
@@ -88,7 +89,7 @@ def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     configs = os.environ.get(
-        "BENCH_CONFIGS", "go2,g1,h1_2,go2_terrain,h1_2_terrain,g1_terrain"
+        "BENCH_CONFIGS", "go2,g1,h1,h1_2,go2_terrain,h1_2_terrain,g1_terrain"
     ).split(",")
     budget = float(os.environ.get("BENCH_BUDGET_S", 2400))
 
