@@ -179,7 +179,10 @@ def run_go2_walk(policy, cmd=(0.5, 0.0, 0.0), duration_s: float = 5.0,
 
 
 def run_go2_handstand(policy, init_state=None, duration_s: float = 5.0,
-                      sim_dt: float = 0.002, control_decimation: int = 10):
+                      sim_dt: float = 0.0025, control_decimation: int = 10):
+    # Defaults give a 40 Hz policy tick — matching the handstand env's
+    # control rate (sim dt 0.005 x decimation 5); the r3 harness ticked
+    # at 50 Hz, a real train/deploy mismatch for a balance policy.
     """Handstand hold in MuJoCo with the training env's rear-leg clamp
     (go2_handstand_env.py:326-350) and MuJoCo-derived foot contact flags.
 

@@ -102,11 +102,6 @@ class PPO:
          ep_stats)."""
         gamma = self.cfg.gamma
         carry_start = carry
-        # terrain: re-center per-env heightfield windows once per rollout,
-        # at top level where the window gather is fast (envs/base_env.py
-        # refresh_terrain; in-scan steps run with refresh_terrain=False)
-        if getattr(env, "terrain", None) is not None:
-            env_state = env.refresh_terrain(env_state)
 
         def step_fn(c, key):
             env_state, obs, critic_obs, carry = c
@@ -143,9 +138,31 @@ class PPO:
             return (env_state, next_obs, next_critic, new_carry), (t, ep)
 
         keys = jax.random.split(ts.key, self.num_steps)
-        (env_state, obs, critic_obs, carry), (transitions, ep) = jax.lax.scan(
-            step_fn, (env_state, obs, critic_obs, carry), keys
-        )
+        c = (env_state, obs, critic_obs, carry)
+        if getattr(env, "terrain", None) is None:
+            c, (transitions, ep) = jax.lax.scan(step_fn, c, keys)
+        else:
+            # Terrain: the rollout scan is chunked around refresh_terrain
+            # calls every ``terrain.window_refresh_steps`` control steps.
+            # The window fetch is a gather and MUST stay outside lax.scan
+            # (top-level gathers are fast; in-scan they serialize at
+            # ~10 ns/element, doc/profile_r3.md), but with the small 16x16
+            # windows an env walking ~1 m/s would reach the +-0.8 m window
+            # edge within a 24-step rollout — so windows are re-centered
+            # between chunks instead of once per rollout.
+            every = int(getattr(env.cfg.terrain, "window_refresh_steps", 0))
+            every = every if 0 < every < self.num_steps else self.num_steps
+            bounds = list(range(0, self.num_steps, every))
+            chunks = []
+            for lo in bounds:
+                hi = min(lo + every, self.num_steps)
+                c = (env.refresh_terrain(c[0]),) + c[1:]
+                c, out = jax.lax.scan(step_fn, c, keys[lo:hi])
+                chunks.append(out)
+            transitions, ep = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *chunks
+            )
+        env_state, obs, critic_obs, carry = c
         ep_stats = {
             "episode_sums": jnp.sum(ep[0], axis=0),
             "reset_count": jnp.sum(ep[1]),
