@@ -76,13 +76,16 @@ class TerrainCfg:
     # doc/profile_r3.md). The einsum is O(W^2) per contact point, so W is
     # kept as small as the refresh cadence allows: PPO chunks its rollout
     # scan and re-centers windows every `window_refresh_steps` control
-    # steps at program top level (fast gather path). Safety margin at the
-    # defaults: half-width W/2 * horizontal_scale = 0.8 m vs worst-case
-    # contact-point reach from base xy (~0.5 m) plus drift over 8 steps at
-    # the 1.5 m/s push-cap velocity (~0.24 m); out-of-window lookups clamp
-    # to the window edge (TerrainGrid.height_in_window).
-    window_size: int = 16
-    window_refresh_steps: int = 8
+    # steps at program top level via the block-major fetch
+    # (TerrainGrid.window_at: ~0.6 ms at 4096 envs; W must be a multiple
+    # of 8). Safety margin at the defaults: the block-aligned fetch
+    # guarantees >= 8 cells (0.8 m) from the robot to the window edge vs
+    # worst-case contact-point reach from base xy (~0.5 m) plus drift
+    # over 12 steps at the 1.5 m/s push-cap velocity (~0.36 m, partially
+    # concurrent); out-of-window lookups clamp to the window edge
+    # (TerrainGrid.height_in_window).
+    window_size: int = 24
+    window_refresh_steps: int = 12
 
 
 @dataclass
@@ -161,9 +164,10 @@ class DomainRandCfg:
     # de-penetration bias (Baumgarte gain AND velocity cap together, see
     # physics/contact.py). Fixed per env at creation like the friction
     # buckets. Policies trained with this cannot tune themselves to one
-    # exact contact response — the r3 handstand hold exploited the
-    # impulse solver's softness and died under MuJoCo's stiffer solver
-    # (doc/handstand_r3_notes.md); this is the sim-side fix.
+    # exact contact response. (Note: the r3 theory that the handstand
+    # transfer failure was contact softness turned out wrong — the r3
+    # "hold" did not exist in any engine, doc/handstand_r4_notes.md —
+    # but the knob remains useful for cross-engine robustness.)
     randomize_contact_stiffness: bool = False
     contact_stiffness_range: Tuple[float, float] = (0.5, 3.0)
 

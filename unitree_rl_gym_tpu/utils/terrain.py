@@ -349,6 +349,9 @@ class Terrain:
         return TerrainGrid.from_terrain(self)
 
 
+BLK = 8  # heightfield block edge (cells) for the block-major window fetch
+
+
 @dataclasses.dataclass(frozen=True)
 class TerrainGrid:
     """Device-resident heightfield for the contact solver."""
@@ -356,40 +359,74 @@ class TerrainGrid:
     heights: object            # jnp [rows, cols] float32, meters
     horizontal_scale: float
     border_size: float
+    blocks: object = None      # jnp [nbx*nby, BLK*BLK] block-major copy
+    nbx: int = 0               # block-grid shape (rows of blocks)
+    nby: int = 0
 
     @staticmethod
     def from_terrain(t: Terrain) -> "TerrainGrid":
         import jax.numpy as jnp
 
+        h = t.height_field_raw.astype(np.float32) * t.cfg.vertical_scale
+        # block-major copy, edge-padded to BLK multiples: a window fetch
+        # becomes a handful of contiguous 256 B row gathers (fast DMA
+        # path) instead of a vmapped dynamic_slice (~6 ms at 4096 envs
+        # regardless of W — overhead-bound, measured r4)
+        R, C = h.shape
+        Rp = (R + BLK - 1) // BLK * BLK
+        Cp = (C + BLK - 1) // BLK * BLK
+        hp = np.pad(h, ((0, Rp - R), (0, Cp - C)), mode="edge")
+        nbx, nby = Rp // BLK, Cp // BLK
+        blocks = (
+            hp.reshape(nbx, BLK, nby, BLK)
+            .transpose(0, 2, 1, 3)
+            .reshape(nbx * nby, BLK * BLK)
+        )
         return TerrainGrid(
-            heights=jnp.asarray(
-                t.height_field_raw.astype(np.float32) * t.cfg.vertical_scale
-            ),
+            heights=jnp.asarray(h),
             horizontal_scale=t.cfg.horizontal_scale,
             border_size=t.cfg.border_size,
+            blocks=jnp.asarray(blocks),
+            nbx=nbx,
+            nby=nby,
         )
 
-    def window_at(self, base_xy, W: int = 48):
-        """Per-env WxW heightfield windows centered at ``base_xy`` [N, 2].
+    def window_at(self, base_xy, W: int = 24):
+        """Per-env WxW heightfield windows around ``base_xy`` [N, 2],
+        block-lattice-aligned (W must be a multiple of BLK).
 
         Returns (win [N, W, W] f32, corner [N, 2] i32 grid coords of
-        win[:, 0, 0]). TOP-LEVEL USE ONLY: the vmapped dynamic_slice
-        lowers to a gather, which is fast at program top level but
-        pathological inside ``lax.scan`` on TPU (~10 ns/output element,
-        measured r3) — that asymmetry is the whole reason windows exist:
-        fetch once per rollout outside the scan, then look heights up
-        in-scan with :meth:`height_in_window` (pure VPU/MXU work)."""
-        import jax
+        win[:, 0, 0]). The robot's containing block sits centered in the
+        fetched (W/BLK)^2 block neighborhood, so the guaranteed margin
+        from the robot to the window edge is >= ((W/BLK - 1)//2) * BLK
+        cells (W=24: >= 8 cells = 0.8 m at 0.1 m scale).
+
+        TOP-LEVEL USE ONLY (outside lax.scan): the fetch is
+        (W/BLK)^2 contiguous-row gathers from the block-major table
+        (~0.6 ms at 4096 envs, vs ~6 ms for the r3 vmapped
+        dynamic_slice and ~240 ms for the same gather inside a scan);
+        in-scan lookups go through :meth:`height_in_window`."""
         import jax.numpy as jnp
 
-        h = self.heights
-        R, C = h.shape
+        assert W % BLK == 0, "window_size must be a multiple of 8"
+        nblk = W // BLK
         g = (base_xy + self.border_size) / self.horizontal_scale
-        corner = jnp.floor(g).astype(jnp.int32) - W // 2
-        corner = jnp.clip(corner, 0, jnp.asarray([R - W, C - W]))
-        win = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(h, (c[0], c[1]), (W, W))
-        )(corner)
+        b = jnp.floor(g / BLK).astype(jnp.int32) - (nblk - 1) // 2
+        bx = jnp.clip(b[:, 0], 0, self.nbx - nblk)
+        by = jnp.clip(b[:, 1], 0, self.nby - nblk)
+        base_id = bx * self.nby + by
+        rows = [
+            self.blocks[base_id + dx * self.nby + dy]
+            for dx in range(nblk) for dy in range(nblk)
+        ]                                              # nblk^2 x [N, 64]
+        N = base_xy.shape[0]
+        win = (
+            jnp.stack(rows, axis=1)
+            .reshape(N, nblk, nblk, BLK, BLK)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(N, W, W)
+        )
+        corner = jnp.stack((bx, by), axis=-1) * BLK
         return win, corner
 
     def height_in_window(self, win, corner, xy):
