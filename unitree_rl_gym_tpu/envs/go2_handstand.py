@@ -58,6 +58,9 @@ class GO2HandstandEnv(LeggedEnv):
         self.front_hip_idx = jnp.asarray(
             [didx["FL_hip_joint"], didx["FR_hip_joint"]]
         )
+        self.front_thigh_idx = jnp.asarray(
+            [didx["FL_thigh_joint"], didx["FR_thigh_joint"]]
+        )
         pose = np.asarray(self.default_dof_pos).copy()
         for n, a in cfg.handstand_pose_joint_angles.items():
             pose[didx[n]] = a
@@ -67,6 +70,7 @@ class GO2HandstandEnv(LeggedEnv):
         self.front_feet_indices = self.feet_indices[jnp.asarray([0, 1])]
         self.hind_feet_indices = self.feet_indices[jnp.asarray([2, 3])]
         self._mid_tables = self._build_mid_tables()
+        self._hold_tables = self._build_hold_tables()
 
     def _reward_registry(self):
         return R.HANDSTAND_REWARDS
@@ -156,34 +160,27 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return obs, obs
 
-    def _build_mid_tables(self):
-        """Host-side FK tables over the kick-up pitch angle th:
-        (th_grid, base height with the lowest front foot ON the ground,
-        body-frame base->front-feet-mid offset [3]). Used by the
-        mid-transition RSI so sampled states are dynamically consistent —
+    def _fk_table(self, ths, pose_fn):
+        """Host-side FK table over the kick-up pitch angle th:
+        (base height with the lowest front foot ON the ground, body-frame
+        base->front-feet-mid offset [3]) for ``joints = pose_fn(th)``.
+        Used by the RSI so sampled states are dynamically consistent —
         front feet planted, base translating as a rotation about the
         contact point — instead of floating states the policy can't brake
         from (the r3 p4/p6 failure: braking practice from airborne states
         transfers nothing to a real kick-up pivoting on the feet)."""
         from unitree_rl_gym_tpu.physics import dynamics as dyn
+        from unitree_rl_gym_tpu.physics import engine as eng
 
-        ths = np.deg2rad(np.linspace(30.0, 210.0, 25)).astype(np.float32)
-        d0 = np.asarray(self.default_dof_pos)
-        hs = np.asarray(self.pose_targets)
         front = np.asarray(self.front_feet_indices)
         heights, r_body = [], []
         for th in ths:
-            alpha = float(np.clip((th - np.deg2rad(30.0))
-                                  / np.deg2rad(120.0), 0.0, 1.0))
-            joints = d0 + alpha * (hs - d0)
             quat = np.array([0.0, np.sin(th / 2), 0.0, np.cos(th / 2)],
                             np.float32)
             R_w, p_w, _, v_b = dyn.fk(
                 self.robot.dyn, jnp.zeros(3), jnp.asarray(quat),
-                jnp.asarray(joints), jnp.zeros(6 + self.robot.num_dof),
+                jnp.asarray(pose_fn(th)), jnp.zeros(6 + self.robot.num_dof),
             )
-            from unitree_rl_gym_tpu.physics import engine as eng
-
             rb_pos, _ = eng.rb_states(self.robot.dyn, R_w, p_w, v_b)
             feet = np.asarray(rb_pos)[front]       # [2, 3], base at origin
             foot_r = 0.022                         # go2 foot sphere radius
@@ -198,6 +195,102 @@ class GO2HandstandEnv(LeggedEnv):
             jnp.asarray(np.asarray(r_body, np.float32)),
         )
 
+    def _build_mid_tables(self):
+        """Mid-transition RSI table: pose lerped from the upright crouch
+        toward the keyframe along the kick-up (th 30..210 deg)."""
+        d0 = np.asarray(self.default_dof_pos)
+        hs = np.asarray(self.pose_targets)
+
+        def lerp_pose(th):
+            alpha = float(np.clip((th - np.deg2rad(30.0))
+                                  / np.deg2rad(120.0), 0.0, 1.0))
+            return d0 + alpha * (hs - d0)
+
+        ths = np.deg2rad(np.linspace(30.0, 210.0, 25)).astype(np.float32)
+        return self._fk_table(ths, lerp_pose)
+
+    def _com_feet_offset(self, th, joints):
+        """World-x offset from the front-feet midpoint to the total CoM at
+        pitch th with the given joints (host-side; >0 = CoM is ahead of
+        the support line and the robot will topple toward its back)."""
+        from unitree_rl_gym_tpu.physics import dynamics as dyn
+        from unitree_rl_gym_tpu.physics import engine as eng
+
+        m = self.robot.dyn
+        quat = np.array([0.0, np.sin(th / 2), 0.0, np.cos(th / 2)],
+                        np.float32)
+        R_w, p_w, _, v_b = dyn.fk(
+            m, jnp.zeros(3), jnp.asarray(quat), jnp.asarray(joints),
+            jnp.zeros(6 + self.robot.num_dof),
+        )
+        R_w, p_w = np.asarray(R_w), np.asarray(p_w)
+        Isp = np.asarray(m.I_sp)
+        masses = Isp[:, 5, 5]
+        S = Isp[:, 0:3, 3:6] / np.maximum(masses, 1e-9)[:, None, None]
+        coms_b = np.stack((S[:, 2, 1], S[:, 0, 2], S[:, 1, 0]), axis=-1)
+        com_w = (R_w @ coms_b[..., None])[..., 0] + p_w
+        com_x = (masses * com_w[:, 0]).sum() / masses.sum()
+        rbp, _ = eng.rb_states(m, jnp.asarray(R_w), jnp.asarray(p_w), v_b)
+        feet_x = np.asarray(rbp)[np.asarray(self.front_feet_indices), 0]
+        return com_x - feet_x.mean()
+
+    def _build_hold_tables(self):
+        """Hold-state RSI table over th 95..125 deg with BALANCE-CORRECTED
+        keyframe poses: front thighs flexed by a per-th delta that puts
+        the front-feet support line under the total CoM.
+
+        Why: at the raw keyframe the CoM sits over the feet only at
+        th ~ 93 deg (g_z ~ 0.05) — INSIDE the reference's fallen-band
+        termination (|g_z| < 0.2, go2_handstand_env.py:211-212). The only
+        statically balanceable handstands that survive the fallen check
+        need the feet pulled ~0.1-0.2 m toward the head, i.e. front
+        thighs ~0.2-0.45 rad off the keyframe (pose-reward cost ~2x, but
+        alive beats terminated by an order of magnitude in return).
+        Seeding RSI at raw-keyframe th in [150, 200] deg (r3) or even
+        [105, 140] deg gave starts that topple within 0.5 s open loop —
+        nothing holdable to learn from (doc/handstand_r4_notes.md).
+
+        Returns (th_grid, planted heights, body-frame base->feet-mid
+        offsets [3], front-thigh deltas)."""
+        hs = np.asarray(self.pose_targets)
+        didx = {n: i for i, n in enumerate(self.robot.dof_names)}
+        th_idx = [didx["FL_thigh_joint"], didx["FR_thigh_joint"]]
+        ths = np.deg2rad(np.linspace(95.0, 125.0, 7)).astype(np.float32)
+
+        def balanced_pose(th):
+            # bisection on the common front-thigh delta zeroing the
+            # CoM-feet offset (offset is monotone in the delta over the
+            # probed range)
+            def off(d):
+                p = hs.copy()
+                p[th_idx] += d
+                return self._com_feet_offset(th, p)
+
+            lo, hi = -0.9, 0.9
+            olo, ohi = off(lo), off(hi)
+            if olo * ohi > 0:          # no zero in range: nearest end
+                d = lo if abs(olo) < abs(ohi) else hi
+            else:
+                for _ in range(14):
+                    mid = 0.5 * (lo + hi)
+                    if off(mid) * olo <= 0:
+                        hi = mid
+                    else:
+                        lo, olo = mid, off(mid)
+                d = 0.5 * (lo + hi)
+            p = hs.copy()
+            p[th_idx] += d
+            return p, d
+
+        deltas = []
+        poses = {}
+        for th in ths:
+            p, d = balanced_pose(th)
+            poses[float(th)] = p
+            deltas.append(d)
+        tab = self._fk_table(ths, lambda th: poses[float(th)])
+        return tab + (jnp.asarray(np.asarray(deltas, np.float32)),)
+
     def _init_task_state(self):
         """EnvState.task_state = live RSI probability (annealed in step)."""
         p0 = float(getattr(self.cfg.init_state, "handstand_init_prob", 0.0))
@@ -208,21 +301,34 @@ class GO2HandstandEnv(LeggedEnv):
         """Reference-state initialisation (RSI): with probability
         ``task_state`` (annealed from ``cfg.init_state.handstand_init_prob``
         to ``handstand_init_prob_final``, see :meth:`step`) an env resets
-        *near the inverted pose* (joints at the handstand keyframe, trunk
-        pitched 150°-200° nose-down, at rest) instead of upright.
+        *in a handstand* (joints at the keyframe, trunk pitched nose-down,
+        front feet planted on the ground) instead of upright.
 
-        Rationale: the handstand reward surface is flat everywhere the
-        upright-started policy can reach — ``orientation``/``pose`` are
-        exp-shaped around the inverted pose and numerically zero below
-        g_z≈0, so vanilla exploration never finds the kick-up (observed:
-        1500-iter runs converge to a tucked crouch).  Seeding early
-        episodes at the goal teaches balance directly and gives the
-        critic a high-value target; annealing the probability to zero
-        then forces the policy to learn the kick-up *transition* from
-        upright starts — reproducing the reference's staged-termination
-        training intent (go2_handstand_env.py:211-212 comment).  This is
-        a training-time exploration aid on top of the reference's env
-        semantics (rewards/termination/obs are unchanged)."""
+        Hold states are seeded in the PHYSICALLY BALANCEABLE band
+        th in ``handstand_hold_th_deg`` (default 105-140 deg, g_z
+        0.26-0.77): keyframe FK puts the planted base at 0.36-0.52 m
+        there with the hind feet 0.74-0.92 m up — a real handstand with
+        the CoM near the front-feet support line. The r3 recipe seeded
+        th 150-200 deg (g_z > 0.87) instead, where the planted base
+        height is <= 0.29 m and the CoM lies far outside the support
+        line: no static hold exists in that band for ANY policy, which
+        is why every r3 "hold" sank and terminated within ~0.4 s (r4
+        diagnosis, doc/handstand_r4_notes.md). The reference rewards
+        this band harder (orientation targets g_z=+1,
+        go2_handstand_env.py:224-234) but its own success description —
+        front legs supporting, rear legs lifted, stable inversion — is
+        only realizable in the vertical band; rewards/termination/obs
+        are untouched, so training simply discovers the best stable
+        compromise the reward set admits.
+
+        Rationale for RSI itself: the handstand reward surface is flat
+        everywhere the upright-started policy can reach, so vanilla
+        exploration never finds the kick-up (observed: 1500-iter runs
+        converge to a tucked crouch). Seeding early episodes at the goal
+        teaches balance directly; annealing the probability then forces
+        the policy to learn the kick-up *transition* from upright starts
+        — the reference's staged-termination training intent
+        (go2_handstand_env.py:211-212 comment)."""
         phys, commands = super()._sample_reset(key, n, origins, vx_range)
         p_inv = (
             task_state if task_state is not None
@@ -244,15 +350,22 @@ class GO2HandstandEnv(LeggedEnv):
             getattr(self.cfg.init_state, "handstand_mid_frac", 0.5)
         )
         mid = inv & (jax.random.uniform(k_mid, (n,)) < mid_frac)
-        # trunk pitched th about +y (nose down); g_z = -cos(th) > 0.8 for
-        # th in (143°, 217°). Hold states: th in [150°, 200°] at rest.
-        # Mid states: th in [40°, 150°] with pitch-rate toward inversion.
+        # trunk pitched th about +y (nose down); g_z = -cos(th).
+        # Hold states: th in the balanceable band (see docstring), planted
+        # keyframe pose, ~at rest. Mid states: th in [40°, 140°] partway
+        # through the kick-up with pitch-rate toward inversion.
+        th_lo, th_hi = getattr(
+            self.cfg.init_state, "handstand_hold_th_deg", (100.0, 120.0)
+        )
         th_hold = jax.random.uniform(
-            k_th, (n,), minval=jnp.deg2rad(150.0), maxval=jnp.deg2rad(200.0)
+            k_th, (n,), minval=jnp.deg2rad(th_lo), maxval=jnp.deg2rad(th_hi)
+        )
+        mid_lo, mid_hi = getattr(
+            self.cfg.init_state, "handstand_mid_th_deg", (40.0, 140.0)
         )
         th_mid = jax.random.uniform(
             jax.random.fold_in(k_th, 1), (n,),
-            minval=jnp.deg2rad(40.0), maxval=jnp.deg2rad(150.0),
+            minval=jnp.deg2rad(mid_lo), maxval=jnp.deg2rad(mid_hi),
         )
         th = jnp.where(mid, th_mid, th_hold)
         yaw = jax.random.uniform(k_yaw, (n,), minval=-jnp.pi, maxval=jnp.pi)
@@ -263,8 +376,11 @@ class GO2HandstandEnv(LeggedEnv):
         q_inv = jnp.stack(
             (-sy * st, cy * st, sy * ct, cy * ct), axis=-1
         )
-        # joints: handstand keyframe when near-inverted; lerp from the
-        # default crouch along the transition for mid states
+        # joints: the balance-corrected keyframe (front thighs flexed so
+        # the feet sit under the CoM, _build_hold_tables) for hold
+        # states; lerp from the default crouch along the transition for
+        # mid states
+        th_gh, h_gh, r_gh, d_gh = self._hold_tables
         alpha = jnp.clip(
             (th - jnp.deg2rad(30.0)) / jnp.deg2rad(120.0), 0.0, 1.0
         )[:, None]
@@ -272,41 +388,59 @@ class GO2HandstandEnv(LeggedEnv):
             self.default_dof_pos
             + alpha * (self.pose_targets - self.default_dof_pos)
         )
-        joints = pose_lerp + jax.random.uniform(
+        dthigh = jnp.interp(th, th_gh, d_gh)
+        pose_hold = jnp.broadcast_to(
+            self.pose_targets, (n, self.robot.num_dof)
+        )
+        pose_hold = pose_hold.at[:, self.front_thigh_idx].add(
+            dthigh[:, None]
+        )
+        pose_sel = jnp.where(mid[:, None], pose_lerp, pose_hold)
+        joints = pose_sel + jax.random.uniform(
             k_q, (n, self.robot.num_dof), minval=-0.05, maxval=0.05
         )
-        # mid-state base height: front feet planted on the ground (host
-        # FK table) — braking is only learnable with ground contact; a
-        # floating lerp (r3 p4/p6) teaches nothing transferable
+        # base height: front feet planted on the ground (host FK tables;
+        # hold and mid states use their own pose's table) — balance and
+        # braking are only learnable with ground contact. The r3 recipe
+        # dropped hold states from U(0.45, 0.55) with the feet ~0.35 m in
+        # the air, so every "hold" episode actually began with a fall and
+        # an unstable catch.
         th_g, h_g, r_g = self._mid_tables
-        h_feet = jnp.interp(th, th_g, h_g)
-        height_hold = jax.random.uniform(k_h, (n,), minval=0.45, maxval=0.55)
-        height = jnp.where(
-            mid,
-            h_feet + jax.random.uniform(
-                jax.random.fold_in(k_h, 1), (n,), minval=0.0, maxval=0.02
-            ),
-            height_hold,
+        h_feet_mid = jnp.interp(th, th_g, h_g)
+        h_feet_hold = jnp.interp(th, th_gh, h_gh)
+        h_feet = jnp.where(mid, h_feet_mid, h_feet_hold)
+        height = h_feet + jax.random.uniform(
+            jax.random.fold_in(k_h, 1), (n,), minval=0.0, maxval=0.02
         )
         # pitch-rate toward inversion for mid states (rotation is about
-        # the body y axis, so body ang vel = (0, w, 0)). Range calibrated
-        # to the policy's ACTUAL kick-up arrival rates: measured r3,
-        # crossings happen at 3.2-6.5 rad/s (median ~4.9).
+        # the body y axis, so body ang vel = (0, w, 0)); a small +-w
+        # perturbation for hold states so balance corrections are in the
+        # training distribution.
         w_lo, w_hi = getattr(
-            self.cfg.init_state, "handstand_mid_w", (2.0, 7.0)
+            self.cfg.init_state, "handstand_mid_w", (1.5, 6.0)
         )
+        w_hold = getattr(self.cfg.init_state, "handstand_hold_w", 0.3)
         w_pitch = jnp.where(
             mid,
             jax.random.uniform(k_w, (n,), minval=w_lo, maxval=w_hi),
-            0.0,
+            jax.random.uniform(
+                jax.random.fold_in(k_w, 1), (n,),
+                minval=-w_hold, maxval=w_hold,
+            ),
         )
         # base linear velocity consistent with rotating about the planted
         # front feet: v_b = -omega_b x r_b with omega_b = (0, w, 0) and
         # r_b = base->feet-mid in body frame  =>  (-w*rz, 0, w*rx)
-        rx = jnp.interp(th, th_g, r_g[:, 0])
-        rz = jnp.interp(th, th_g, r_g[:, 2])
-        v_lin_x = jnp.where(mid, -w_pitch * rz, 0.0)
-        v_lin_z = jnp.where(mid, w_pitch * rx, 0.0)
+        rx = jnp.where(
+            mid, jnp.interp(th, th_g, r_g[:, 0]),
+            jnp.interp(th, th_gh, r_gh[:, 0]),
+        )
+        rz = jnp.where(
+            mid, jnp.interp(th, th_g, r_g[:, 2]),
+            jnp.interp(th, th_gh, r_gh[:, 2]),
+        )
+        v_lin_x = -w_pitch * rz
+        v_lin_z = w_pitch * rx
         base_pos = phys.base_pos.at[:, 2].set(
             jnp.where(inv, height, phys.base_pos[:, 2])
         )
@@ -364,26 +498,31 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
     cfg.env.num_actions = 12
     # init_state (go2_handstand_config.py:13-31)
     cfg.init_state.pos = [0.0, 0.0, 0.28]
-    # Annealed RSI (see GO2HandstandEnv._sample_reset): start with every
-    # episode near the inverted pose (learn balance), decay linearly over
-    # the first 2000 iterations (x24 steps/iter) to a 25% inverted-start
-    # mix so the rest of training practices the kick-up from upright
-    # while the hold skill stays anchored (the r3 campaign recipe that
-    # produced the shipped artifact — doc/handstand_r3_notes.md; decaying
-    # all the way to 0 makes the policy stop attempting).
+    # RSI (see GO2HandstandEnv._sample_reset): every episode starts
+    # planted in the balanceable band — the single-run "balance
+    # bootcamp" default. The shipped artifact is trained by the STAGED
+    # recipe in scripts/handstand_recipe.py (bootcamp -> braking ->
+    # kick-up mix); annealing upright starts in too early erodes the
+    # hold before it consolidates (doc/handstand_r4_notes.md).
     cfg.init_state.handstand_init_prob = 1.0
-    cfg.init_state.handstand_init_prob_final = 0.25
-    cfg.init_state.handstand_anneal_steps = 48_000
+    cfg.init_state.handstand_init_prob_final = 1.0
+    cfg.init_state.handstand_anneal_steps = 0
+    cfg.init_state.handstand_mid_frac = 0.0
     # fallen-band termination grace (see _check_termination): long enough
     # to cross the sideways band during a kick-up from upright
     cfg.env.fallen_grace_s = 1.5
-    # Contact-stiffness DR (r4, no reference analog): the r3 hold
-    # exploited the impulse solver's soft de-penetration response (base
-    # bounced 0.15-0.35 m on the contacts) and died under MuJoCo's
-    # stiffer solver (doc/handstand_r3_notes.md). Randomizing the
-    # per-env contact stiffness x0.5-3.0 forces holds that don't tune
-    # themselves to one exact contact response.
-    cfg.domain_rand.randomize_contact_stiffness = True
+    # Contact-stiffness DR (r4 infrastructure, no reference analog):
+    # available via DomainRandCfg.randomize_contact_stiffness, but OFF in
+    # the shipped recipe. The x0.5-3.0 range collapsed training (the
+    # policy stopped attempting kick-ups entirely, 0/16 vs 78%), and the
+    # r4 diagnosis showed the r3 transfer failure was NOT contact
+    # softness: the r3 RSI seeded holds in the statically unbalanceable
+    # th>150 deg band, so no hold existed in ANY engine
+    # (doc/handstand_r4_notes.md).
+    # hold band: g_z 0.24-0.44, outside the fallen band with margin, and
+    # the balance-corrected front thigh stays inside its -1.57 rad limit
+    cfg.init_state.handstand_hold_th_deg = (104.0, 116.0)
+    cfg.init_state.handstand_mid_th_deg = (40.0, 120.0)
     cfg.init_state.default_joint_angles = {
         "FL_hip_joint": 0.3, "FR_hip_joint": -0.3,
         "FL_thigh_joint": 1.2, "FR_thigh_joint": 1.2,
@@ -454,9 +593,14 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
 
 def go2_handstand_train_cfg() -> TrainCfg:
     t = TrainCfg()
-    t.algorithm.entropy_coef = 0.01
+    # Lower exploration noise + entropy than the locomotion tasks: the
+    # hold is an unstable equilibrium and sigma=1.0 action noise (0.3 rad
+    # of target jitter) keeps knocking it over faster than PPO can learn
+    # the recovery (r4 campaign, doc/handstand_r4_notes.md).
+    t.policy.init_noise_std = 0.5
+    t.algorithm.entropy_coef = 0.005
     t.runner.experiment_name = "go2_handstand"
-    # 2000 annealed-RSI iters + 3000 at the 25% mix (the shipped-artifact
-    # recipe, doc/handstand_r3_notes.md)
+    # single-run balance bootcamp; the shipped artifact uses the staged
+    # recipe (scripts/handstand_recipe.py, 13.5k iters total)
     t.runner.max_iterations = 5000
     return t
