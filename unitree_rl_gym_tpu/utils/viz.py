@@ -107,12 +107,24 @@ class RolloutViewer:
         self.realtime = realtime
         self._next_frame = None
         self.viewer = None
+        # reference viewer key events (base_task.py:91-115): ESC = QUIT,
+        # V = toggle_viewer_sync (sim keeps running, rendering freezes)
+        self._quit_requested = False
+        self._sync_enabled = True
         if viewer is None:
             viewer = bool(os.environ.get("DISPLAY"))
         if viewer:
             import mujoco.viewer
 
-            self.viewer = mujoco.viewer.launch_passive(self.model, self.data)
+            def _on_key(keycode):
+                if keycode == 256:                  # ESC
+                    self._quit_requested = True
+                elif keycode in (ord("V"), ord("v")):
+                    self._sync_enabled = not self._sync_enabled
+
+            self.viewer = mujoco.viewer.launch_passive(
+                self.model, self.data, key_callback=_on_key
+            )
 
     def set_frame(self, base_pos, base_quat_xyzw, joint_q):
         d = self.data
@@ -133,9 +145,10 @@ class RolloutViewer:
         )
         self.set_frame(pos, quat, q)
         if self.viewer is not None:
-            if not self.viewer.is_running():
+            if self._quit_requested or not self.viewer.is_running():
                 return False
-            self.viewer.sync()
+            if self._sync_enabled:
+                self.viewer.sync()
         if self.realtime:
             # test-mode wall-clock pacing (legged_robot.py:631-635)
             now = time.time()
