@@ -59,6 +59,53 @@ def test_terrain_grid_and_lookup():
     assert abs(float(grid.height_at(jnp.asarray([-1.0, -1.0])))) < 1e-6
 
 
+def test_window_tracks_walking_env():
+    """The block-aligned window fetch + in-window tent lookup must stay
+    EXACTLY bilinear for contact points around an env that walks far
+    beyond its original window span, when windows are re-centered every
+    ``window_refresh_steps`` control steps (the PPO rollout's chunked
+    cadence, rl/ppo.py). Pins the r4 correctness fix: the da7df41 16x16
+    windows were fetched once per 24-step rollout, so a walking env got
+    silently edge-clamped heights mid-rollout."""
+    cfg = small_cfg(curriculum=True)
+    terr = Terrain(cfg, num_robots=4, seed=0)
+    grid = terr.grid()
+    W, refresh_every = 24, 12
+    dt, vx = 0.02, 1.5                         # push-cap-speed walk
+    start = jnp.asarray(
+        [[terr.env_origins[0, 0][0], terr.env_origins[0, 0][1]],
+         [terr.env_origins[1, 1][0], terr.env_origins[1, 1][1]]]
+    )
+    # contact-point offsets around the base (worst-case ~0.4 m reach)
+    offs = jnp.asarray(
+        [[0.4, 0.0], [-0.4, 0.0], [0.0, 0.4], [0.0, -0.4], [0.3, -0.3]]
+    )
+    win = corner = None
+    clamped_err_without_refresh = 0.0
+    for t in range(48):
+        base = start + jnp.asarray([vx * dt * t, 0.3 * dt * t])
+        if t % refresh_every == 0:
+            win, corner = grid.window_at(base, W=W)
+            if t == 0:
+                win0, corner0 = win, corner    # never-refreshed control
+        pts = base[:, None, :] + offs[None]
+        h_win = grid.height_in_window(win, corner, pts)
+        h_ref = grid.height_at(pts)
+        np.testing.assert_allclose(
+            np.asarray(h_win), np.asarray(h_ref), atol=1e-6,
+            err_msg=f"step {t}",
+        )
+        h_stale = grid.height_in_window(win0, corner0, pts)
+        clamped_err_without_refresh = max(
+            clamped_err_without_refresh,
+            float(jnp.max(jnp.abs(h_stale - h_ref))),
+        )
+    # sanity that the refresh is load-bearing: the never-refreshed window
+    # clamps and diverges over the same walk (otherwise this test would
+    # pass vacuously on flat ground)
+    assert clamped_err_without_refresh > 0.01, clamped_err_without_refresh
+
+
 def test_env_on_heightfield_stands():
     from unitree_rl_gym_tpu.envs.base_env import LeggedEnv
     from unitree_rl_gym_tpu.envs.go2 import go2_rough_cfg
