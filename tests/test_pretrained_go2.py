@@ -123,30 +123,49 @@ def _handstand_env(init_prob):
     return task_registry.get_task_class("go2_handstand")(cfg)
 
 
+def _hold_pgz_threshold(env):
+    """The 'inverted' bound is DERIVED from the training band so the test
+    and the recipe cannot silently drift apart (r4 ADVICE): the hold-RSI
+    band starts at pitch th_lo (g_z = -cos th), so a held handstand must
+    keep g_z above the band's lower edge minus a small eps. For the
+    shipped cfg (th_lo = 104 deg) this is ~0.23 — just above the
+    reference's fallen-band termination |g_z| < 0.2
+    (go2_handstand_env.py:178-219)."""
+    th_lo = env.cfg.init_state.handstand_hold_th_deg[0]
+    return float(-np.cos(np.deg2rad(th_lo)) - 0.01)
+
+
 def _handstand_runs(env, policy, steps, seed=0):
     """Per-env longest TERMINATION-FREE run (in control steps) of
-    'handstand held': projected_gravity_z > 0.25 (inverted, above the
-    fallen band) AND base height > 0.3 (standing on the front feet, not
-    lying down — planted keyframe geometry puts the base at 0.36-0.53 m
-    across the balanceable band, doc/handstand_r4_notes.md).
+    'handstand held': projected_gravity_z above the training-band-derived
+    threshold (inverted, above the fallen band) AND base height > 0.3
+    (standing on the front feet, not lying down — planted keyframe
+    geometry puts the base at 0.36-0.53 m across the balanceable band,
+    doc/handstand_r4_notes.md).
 
     Reset-awareness matters: the r3 version of this test measured g_z
     runs only, and under RSI p=1 every termination resets straight back
     to an inverted pose — the runs accumulated across episodes and the
-    test passed with NO holding ability whatsoever (r4 finding)."""
+    test passed with NO holding ability whatsoever (r4 finding).
+
+    Returns (best [N] longest runs, mean g_z over all held steps)."""
+    pgz_th = _hold_pgz_threshold(env)
     state, obs = env.reset_all(jax.random.PRNGKey(seed))
     step = jax.jit(env.step)
     run = np.zeros(N)
     best = np.zeros(N)
+    pgz_sum, pgz_cnt = 0.0, 0
     for _ in range(steps):
         actions = jnp.asarray(policy(np.asarray(obs, np.float32)))
         state, obs, _, _, done, _ = step(state, actions)
         pgz = np.asarray(jax.vmap(_pg)(state.phys.base_quat))[:, 2]
         h = np.asarray(state.phys.base_pos[:, 2])
-        ok = (~np.asarray(done)) & (pgz > 0.25) & (h > 0.3)
+        ok = (~np.asarray(done)) & (pgz > pgz_th) & (h > 0.3)
         run = np.where(ok, run + 1, 0)
         best = np.maximum(best, run)
-    return best
+        pgz_sum += float(pgz[ok].sum())
+        pgz_cnt += int(ok.sum())
+    return best, pgz_sum / max(pgz_cnt, 1)
 
 
 def test_handstand_policy_holds_inversion():
@@ -159,11 +178,23 @@ def test_handstand_policy_holds_inversion():
     path = _artifact("go2_handstand")
     env = _handstand_env(init_prob=1.0)
     policy = NumpyPolicy(path)
-    best = _handstand_runs(env, policy, 450)
+    best, pgz_mean = _handstand_runs(env, policy, 450)
     held = best >= 200
     assert held.mean() >= 0.5, (
         f"only {held.sum()}/{N} envs held a real handstand >= 5 s "
         f"(runs: {np.sort(best)[::-1][:8].astype(int)})"
+    )
+    # a marginal near-fallen pose scraping below the band must not count:
+    # the AVERAGE held inversion must sit at or inside the RSI band
+    # proper (-cos th_lo; the per-step run threshold is eps BELOW this).
+    # The policy legitimately converges to the near-vertical end of the
+    # band (th ~ 105 deg, g_z ~ 0.26 — the easiest static balance per
+    # the FK/CoM table), so no larger margin is demanded.
+    th_lo = env.cfg.init_state.handstand_hold_th_deg[0]
+    band_edge = float(-np.cos(np.deg2rad(th_lo)))
+    assert pgz_mean > band_edge, (
+        f"mean held g_z {pgz_mean:.3f} below the RSI band edge "
+        f"{band_edge:.3f} (near-fallen poses are being counted as holds)"
     )
 
 
@@ -191,7 +222,7 @@ def test_handstand_policy_kicks_up_from_upright():
     path = _artifact("go2_handstand")
     env = _handstand_env(init_prob=0.0)
     policy = NumpyPolicy(path)
-    best = _handstand_runs(env, policy, 500)
+    best, _ = _handstand_runs(env, policy, 500)
     converted = best >= 120
     assert converted.mean() >= 0.25, (
         f"only {converted.sum()}/{N} envs converted a kick-up into a "

@@ -114,3 +114,47 @@ def test_env_step_backend_toggle(env):
     np.testing.assert_allclose(
         np.asarray(out1[3]), np.asarray(out2[3]), atol=1e-4
     )  # reward
+
+
+def test_soa_cache_survives_id_aliasing(env):
+    """The per-model caches key on id(model) for speed but must validate
+    the hit with a weakref identity check: a garbage-collected DynModel
+    frees its address for reuse, and an id()-only cache would hand a new
+    robot the old robot's SoA model / probe verdict (r4 VERDICT weak #5).
+
+    Simulates the aliasing directly: plant model A's cache entries under
+    model B's id (both with a live wrong-model ref and with a dead ref)
+    and assert both lookups rebuild from B instead of returning A's."""
+    import gc
+    import weakref
+
+    from unitree_rl_gym_tpu.envs.g1 import g1_rough_cfg
+
+    cfg_b = g1_rough_cfg()
+    cfg_b.env.num_envs = N
+    env_b = task_registry.get_task_class("g1")(cfg_b)
+    m_a, m_b = env.robot.dyn, env_b.robot.dyn
+    s_a = pb.soa_model_for(m_a)
+
+    # live wrong-model entry at B's key (same-address reuse, old alive)
+    pb._SOA_CACHE[id(m_b)] = (weakref.ref(m_a), s_a)
+    s_b = pb.soa_model_for(m_b)
+    assert s_b is not s_a and s_b.nj == m_b.joint_axis.shape[0]
+
+    # dead-ref entry at B's key (old model GC'd, address reused)
+    class _Dummy:
+        pass
+
+    dummy = _Dummy()
+    dead = weakref.ref(dummy)
+    del dummy
+    gc.collect()
+    assert dead() is None
+    pb._SOA_CACHE[id(m_b)] = (dead, s_a)
+    pb._PROBE_CACHE[(id(m_b), False, False, 4)] = (dead, False)
+    assert pb.soa_model_for(m_b).nj == m_b.joint_axis.shape[0]
+    # probe cache: the stale False verdict must not be returned as a hit
+    hit = pb._PROBE_CACHE.get((id(m_b), False, False, 4))
+    assert hit[0]() is None  # entry is stale ...
+    # ... and the lookup path treats it as a miss (mirrors pallas_probe_ok)
+    assert not (hit is not None and hit[0]() is m_b)

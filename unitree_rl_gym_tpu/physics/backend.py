@@ -25,15 +25,25 @@ from unitree_rl_gym_tpu.physics import dynamics as dyn
 from unitree_rl_gym_tpu.physics import engine as eng
 from unitree_rl_gym_tpu.physics import soa
 
-_SOA_CACHE = {}
-_PROBE_CACHE = {}
+# Per-model caches. Keys are id(model) for O(1) lookup, but every entry
+# carries a weakref to the model it was built from and is validated with
+# an identity check on hit: a DynModel that is garbage-collected frees
+# its address for reuse, and an id()-only cache would then hand a NEW
+# robot the OLD robot's SoA model / probe verdict (r4 VERDICT weak #5).
+_SOA_CACHE = {}    # id(model) -> (weakref.ref(model), SoAModel)
+_PROBE_CACHE = {}  # (id(model), ...) -> (weakref.ref(model), bool)
 
 
 def soa_model_for(model: dyn.DynModel) -> soa.SoAModel:
+    import weakref
+
     key = id(model)
-    if key not in _SOA_CACHE:
-        _SOA_CACHE[key] = soa.build_soa_model(model)
-    return _SOA_CACHE[key]
+    hit = _SOA_CACHE.get(key)
+    if hit is not None and hit[0]() is model:
+        return hit[1]
+    sm = soa.build_soa_model(model)
+    _SOA_CACHE[key] = (weakref.ref(model), sm)
+    return sm
 
 
 def pallas_probe_ok(model, cparams, pd, sim_dt, decimation, terrain,
@@ -49,13 +59,14 @@ def pallas_probe_ok(model, cparams, pd, sim_dt, decimation, terrain,
     compilation cache on reruns. Disable with UTRL_PALLAS_PROBE=0."""
     import os
     import warnings
+    import weakref
 
     if os.environ.get("UTRL_PALLAS_PROBE", "1") == "0":
         return True
     key = (id(model), bool(terrain), bool(has_cstiff), int(decimation))
-    ok = _PROBE_CACHE.get(key)
-    if ok is not None:
-        return ok
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None and hit[0]() is model:
+        return hit[1]
     from unitree_rl_gym_tpu.physics import pallas_step
 
     m = soa_model_for(model)
@@ -93,7 +104,7 @@ def pallas_probe_ok(model, cparams, pd, sim_dt, decimation, terrain,
             f"Details: {str(e)[:500]}"
         )
         ok = False
-    _PROBE_CACHE[key] = ok
+    _PROBE_CACHE[key] = (weakref.ref(model), ok)
     return ok
 
 

@@ -341,7 +341,12 @@ class PPO:
             # full ~113 MB packed tensor along a strided axis and measured
             # 3.5 ms/iter SLOWER on g1/h1_2 @4096 (35.2 vs 31.7 ms/iter —
             # the r3 regression, recovered in r4).
-            perm = jax.random.permutation(key, N).reshape(nmb, mb_envs)
+            # truncate before reshaping: when N % nmb != 0 the remainder
+            # envs are dropped (rsl_rl's mini_batch_generator does the
+            # same silently via integer division)
+            perm = jax.random.permutation(key, N)[: nmb * mb_envs].reshape(
+                nmb, mb_envs
+            )
 
             def mb_step(carry, idx):
                 params, opt_state, lr, stats = carry

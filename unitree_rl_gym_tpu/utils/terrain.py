@@ -410,6 +410,21 @@ class TerrainGrid:
 
         assert W % BLK == 0, "window_size must be a multiple of 8"
         nblk = W // BLK
+        # margin guarantee: the robot's block is centered in the fetched
+        # block neighborhood, so the edge margin is ((nblk-1)//2)*BLK
+        # cells — 0 for nblk=2 (W=16, the r3 default), which silently
+        # reintroduces the edge-clamp bug this fetch exists to fix
+        assert W >= 3 * BLK, (
+            f"window_size={W} gives zero guaranteed robot-to-edge margin; "
+            f"use >= {3 * BLK} (see doc/profile_r4.md finding 2)"
+        )
+        # a window larger than the padded block grid would clip() into
+        # negative block indices, which wrap under JAX indexing and fetch
+        # wrong blocks
+        assert self.nbx >= nblk and self.nby >= nblk, (
+            f"terrain block grid {self.nbx}x{self.nby} smaller than the "
+            f"{nblk}x{nblk} window"
+        )
         g = (base_xy + self.border_size) / self.horizontal_scale
         b = jnp.floor(g / BLK).astype(jnp.int32) - (nblk - 1) // 2
         bx = jnp.clip(b[:, 0], 0, self.nbx - nblk)
