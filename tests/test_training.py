@@ -112,3 +112,79 @@ def test_lstm_task_learns_and_exports(task, tmp_path):
 def test_registry_has_all_five_tasks():
     for name in ["go2", "h1", "h1_2", "g1", "go2_handstand"]:
         assert name in task_registry.task_classes
+
+
+def test_anchor_kl_and_class_weights_pin_the_skill(tmp_path):
+    """The skill-preserving fine-tune knobs (AlgorithmCfg.anchor_kl_coef +
+    class_target_frac, r5): with a frozen anchor and a strong coefficient,
+    the policy's drift from the anchor ON TASK-CRITICAL STATES (inverted
+    band, env.ppo_state_class_fn) must be smaller than an unanchored run
+    from the same seed — while training still proceeds (params change).
+    Also pins the load_flat_params inverse of the flat export."""
+    from unitree_rl_gym_tpu.export.export import (
+        _flatten_params, load_flat_params,
+    )
+    from unitree_rl_gym_tpu.models import networks as nets
+
+    def make_runner(anchor_coef):
+        cfg, tcfg = task_registry.get_cfgs("go2_handstand")
+        cfg.env.num_envs = 8
+        cfg.init_state.handstand_init_prob = 1.0
+        cfg.init_state.handstand_init_prob_final = 1.0
+        cfg.init_state.handstand_mid_frac = 0.0
+        tcfg.runner.num_steps_per_env = 4
+        tcfg.runner.save_interval = 1000
+        tcfg.algorithm.anchor_kl_coef = anchor_coef
+        tcfg.algorithm.class_target_frac = 0.5 if anchor_coef else 0.0
+        env = task_registry.get_task_class("go2_handstand")(cfg)
+        runner = OnPolicyRunner(env, tcfg, None)
+        return env, runner
+
+    env, anchored = make_runner(50.0)
+    assert anchored.alg.state_class_fn is not None
+    anchor_params = jax.tree.map(np.asarray, anchored.train_state.params)
+    anchored.set_anchor()
+    anchored.learn(2, init_at_random_ep_len=True)
+
+    _, free = make_runner(0.0)
+    free.learn(2, init_at_random_ep_len=True)
+
+    # same seed => identical anchor reference for both runs
+    jax.tree.map(
+        np.testing.assert_array_equal, anchor_params,
+        jax.tree.map(np.asarray, free.alg.init(
+            jax.random.PRNGKey(free.cfg.seed), env.num_obs, env.num_obs
+        ).params),
+    )
+
+    # drift measured as KL(anchor || pi) on inverted-band states
+    state, obs = env.reset_all(jax.random.PRNGKey(5))
+    mask = np.asarray(env.ppo_state_class_fn(obs))
+    assert mask.mean() > 0.9  # RSI p=1: starts are inverted
+    carry = anchored.net.initial_carry(obs.shape[0])
+
+    def drift(runner):
+        a_mu, a_std, _, _ = runner.net.apply(
+            jax.tree.map(jnp.asarray, anchor_params), obs, obs, carry
+        )
+        mu, std, _, _ = runner.net.apply(
+            runner.train_state.params, obs, obs, carry
+        )
+        return float(jnp.mean(nets.kl_divergence(a_mu, a_std, mu, std)))
+
+    d_anchored, d_free = drift(anchored), drift(free)
+    assert d_anchored < d_free * 0.8, (d_anchored, d_free)
+    # training still moved the anchored params
+    assert d_anchored > 0.0
+
+    # flat-export inverse: flatten -> npz -> load == original tree
+    import numpy as _np
+
+    flat = _flatten_params(anchored.train_state.params)
+    f = os.path.join(str(tmp_path), "policy_flat.npz")
+    _np.savez(f, **flat)
+    back = load_flat_params(f)
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.tree.map(np.asarray, anchored.train_state.params), back,
+    )

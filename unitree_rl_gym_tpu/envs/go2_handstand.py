@@ -160,6 +160,20 @@ class GO2HandstandEnv(LeggedEnv):
         )
         return obs, obs
 
+    def ppo_state_class_fn(self, obs):
+        """Task-critical-state classifier for the PPO fine-tune knobs
+        (AlgorithmCfg.anchor_kl_coef / class_target_frac): 1.0 on
+        INVERTED-side states (projected_gravity_z > 0) — the hemisphere
+        where the consolidated hold skill lives and must not erode under
+        upright-heavy sample mixes (upright idle is g_z ~ -1;
+        doc/handstand_r4_notes.md). The whole hemisphere, not just the
+        RSI band, because balance excursions and the final braking phase
+        of a kick-up pass through g_z 0..0.24 and the hold feedback must
+        stay pinned there too. Reads g_z straight from the obs (col 5 of
+        the 46-dim layout; unscaled, noise sigma 0.05 is negligible
+        against the hemisphere split)."""
+        return (obs[..., 5] > 0.0).astype(jnp.float32)
+
     def _fk_table(self, ths, pose_fn):
         """Host-side FK table over the kick-up pitch angle th:
         (base height with the lowest front foot ON the ground, body-frame

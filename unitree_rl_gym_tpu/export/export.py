@@ -34,6 +34,26 @@ def _flatten_params(params) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_flat_params(path: str):
+    """Rebuild the nested flax params pytree from a ``policy_flat.npz``
+    (inverse of :func:`_flatten_params` for dict-keyed trees). The npz
+    carries the FULL train params (actor + critic + log_std), so a
+    shipped artifact can seed a fine-tune (e.g. the handstand robustness
+    recipe resumes from the 16/16 holder instead of retraining)."""
+    f = path if path.endswith(".npz") else os.path.join(
+        path, "policy_flat.npz"
+    )
+    z = np.load(f)
+    out: Dict = {}
+    for key in z.files:
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = np.asarray(z[key])
+    return out
+
+
 def export_flat(runner, path: str):
     """Flat npz of all params + architecture metadata json."""
     os.makedirs(path, exist_ok=True)

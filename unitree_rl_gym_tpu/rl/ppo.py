@@ -43,6 +43,9 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     lr: jax.Array          # scalar, adaptive
     key: jax.Array
+    # frozen anchor policy params for the skill-preserving KL penalty
+    # (AlgorithmCfg.anchor_kl_coef); None unless runner.set_anchor ran
+    anchor_params: Any = None
 
 
 class Transition(NamedTuple):
@@ -65,6 +68,11 @@ class PPO:
     cfg: AlgorithmCfg
     num_steps: int                # num_steps_per_env (24)
     num_envs: int
+    # optional task-critical-state classifier obs -> [B] weight in [0,1]
+    # (e.g. GO2HandstandEnv.ppo_state_class_fn: inverted-band states).
+    # Drives both cfg.class_target_frac re-weighting and the
+    # cfg.anchor_kl_coef mask; both features are inert when None.
+    state_class_fn: Any = None
 
     # ------------------------------------------------------------------
 
@@ -204,7 +212,8 @@ class PPO:
     # update
     # ------------------------------------------------------------------
 
-    def _loss(self, params, batch, lr_unused, carry0=None, dones=None):
+    def _loss(self, params, batch, lr_unused, carry0=None, dones=None,
+              anchor_params=None):
         """PPO loss on a minibatch. For recurrent nets the batch is
         [T, B, ...] and the LSTM is replayed from carry0 with done masking;
         for MLPs the batch is flat [B, ...]."""
@@ -231,33 +240,84 @@ class PPO:
                 params, b.obs, b.critic_obs, self.net.initial_carry(b.obs.shape[0])
             )
 
+        # per-sample weights: one-sided class rebalancing — when the
+        # task-critical-state share of the minibatch falls below
+        # class_target_frac, importance weights restore that share of
+        # the loss mass (upright-idle samples can no longer drown the
+        # hold states; doc/handstand_r4_notes.md). Mean-one normalized so
+        # loss magnitudes (and the adaptive-KL scale) are untouched.
+        use_w = self.state_class_fn is not None and cfg.class_target_frac > 0.0
+        if use_w:
+            c = jax.lax.stop_gradient(
+                self.state_class_fn(b.obs).astype(b.advantages.dtype)
+            )
+            frac = jnp.mean(c)
+            tau = cfg.class_target_frac
+            w1 = jnp.where(frac < tau, tau / (frac + 1e-6), 1.0)
+            w0 = jnp.where(
+                frac < tau, (1.0 - tau) / (1.0 - frac + 1e-6), 1.0
+            )
+            w = c * w1 + (1.0 - c) * w0
+            w = w / jnp.mean(w)
+            wmean = lambda x: jnp.mean(w * x)
+        else:
+            wmean = jnp.mean
+
         logp = nets.log_prob(mu, std, b.actions)
         ratio = jnp.exp(logp - b.log_probs)
         surr = -b.advantages * ratio
         surr_clipped = -b.advantages * jnp.clip(
             ratio, 1.0 - cfg.clip_param, 1.0 + cfg.clip_param
         )
-        surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+        surrogate_loss = wmean(jnp.maximum(surr, surr_clipped))
 
         if cfg.use_clipped_value_loss:
             v_clipped = b.values + jnp.clip(
                 value - b.values, -cfg.clip_param, cfg.clip_param
             )
-            value_loss = jnp.mean(
+            value_loss = wmean(
                 jnp.maximum(
                     jnp.square(value - b.returns),
                     jnp.square(v_clipped - b.returns),
                 )
             )
         else:
-            value_loss = jnp.mean(jnp.square(value - b.returns))
+            value_loss = wmean(jnp.square(value - b.returns))
 
-        ent = jnp.mean(nets.entropy(std))
+        ent = wmean(nets.entropy(std))
         loss = (
             surrogate_loss
             + cfg.value_loss_coef * value_loss
             - cfg.entropy_coef * ent
         )
+
+        # frozen-anchor KL: on states where the anchor policy is
+        # competent (state class == 1), penalize KL(anchor || pi) so the
+        # consolidated skill cannot erode while the rest of state space
+        # trains freely. Masked mean over class-1 samples only.
+        if (
+            cfg.anchor_kl_coef > 0.0
+            and anchor_params is not None
+            and self.state_class_fn is not None
+        ):
+            assert not self.net.is_recurrent, (
+                "anchor_kl_coef supports feed-forward policies only"
+            )
+            a_mu, a_std, _, _ = self.net.apply(
+                anchor_params, b.obs, b.critic_obs,
+                self.net.initial_carry(b.obs.shape[0]),
+            )
+            akl = nets.kl_divergence(
+                jax.lax.stop_gradient(a_mu), jax.lax.stop_gradient(a_std),
+                mu, std,
+            )
+            mask = jax.lax.stop_gradient(
+                self.state_class_fn(b.obs).astype(akl.dtype)
+            )
+            anchor_loss = jnp.sum(mask * akl) / (jnp.sum(mask) + 1e-6)
+            loss = loss + cfg.anchor_kl_coef * anchor_loss
+
+        # the adaptive-LR KL stays UNweighted (rsl_rl scheduler semantics)
         kl = jnp.mean(nets.kl_divergence(b.mu, b.std, mu, std))
         return loss, (surrogate_loss, value_loss, kl)
 
@@ -355,7 +415,7 @@ class PPO:
                 dones = dones_f > 0.5
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, lr, carry0, dones)
+                )(params, batch, lr, carry0, dones, ts.anchor_params)
                 lr = self._adapt_lr(lr, kl)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 updates = jax.tree.map(lambda u: -lr * u, updates)
@@ -413,7 +473,7 @@ class PPO:
                 ))
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
-                )(params, batch, lr)
+                )(params, batch, lr, None, None, ts.anchor_params)
                 lr = self._adapt_lr(lr, kl)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 updates = jax.tree.map(lambda u: -lr * u, updates)

@@ -48,6 +48,10 @@ class OnPolicyRunner:
             cfg=train_cfg.algorithm,
             num_steps=train_cfg.runner.num_steps_per_env,
             num_envs=env.num_envs,
+            # tasks can expose a task-critical-state classifier that
+            # drives class_target_frac re-weighting and the anchor-KL
+            # mask (AlgorithmCfg; GO2HandstandEnv.ppo_state_class_fn)
+            state_class_fn=getattr(env, "ppo_state_class_fn", None),
         )
         critic_obs_dim = env.num_privileged_obs or env.num_obs
         key = jax.random.PRNGKey(train_cfg.seed)
@@ -281,6 +285,19 @@ class OnPolicyRunner:
         return payload
 
     # ------------------------------------------------------------------
+
+    def set_anchor(self, params=None):
+        """Freeze a copy of ``params`` (default: the CURRENT policy) as
+        the anchor for AlgorithmCfg.anchor_kl_coef. The anchor rides in
+        TrainState so it flows through the jitted iteration; setting it
+        retraces once."""
+        p = params if params is not None else self.train_state.params
+        p = jax.tree.map(jnp.asarray, p)
+        if self.mesh is not None and params is not None:
+            from unitree_rl_gym_tpu.parallel import mesh as pmesh
+
+            p = pmesh.replicate(p, self.mesh)
+        self.train_state = self.train_state.replace(anchor_params=p)
 
     def get_inference_policy(self, device=None):
         """Deterministic (mean) policy; LSTM carry is held inside the

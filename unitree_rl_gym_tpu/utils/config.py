@@ -315,6 +315,22 @@ class AlgorithmCfg:
     lam: float = 0.95
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
+    # --- skill-preserving fine-tune knobs (no rsl_rl analog; both off by
+    # default so the base algorithm stays exactly v1.0.2). Used by the
+    # handstand kick-up recipe: upright-idle episodes are ~5x longer than
+    # failed kick-up attempts, so once upright starts are mixed in their
+    # samples dominate the PPO batch and erode the hold faster than the
+    # kick-up is acquired (doc/handstand_r4_notes.md).
+    # anchor_kl_coef: weight of a KL(anchor || pi) penalty applied on
+    # task-critical states (env.ppo_state_class_fn == 1) toward a FROZEN
+    # anchor policy (runner.set_anchor) — pins the already-learned skill
+    # in its state region while the rest of state space trains freely.
+    anchor_kl_coef: float = 0.0
+    # class_target_frac: minimum effective share of task-critical-state
+    # samples in every minibatch loss; when their empirical fraction
+    # falls below this, per-sample importance weights rebalance the
+    # surrogate/value/entropy means (one-sided — never downweights).
+    class_target_frac: float = 0.0
 
 
 @dataclass
