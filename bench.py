@@ -86,6 +86,9 @@ def measure(task, num_envs, iters):
 
 
 def main():
+    from unitree_rl_gym_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 20))
     configs = os.environ.get(

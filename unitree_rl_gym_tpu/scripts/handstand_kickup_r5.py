@@ -235,6 +235,9 @@ def run_experiment(name, out_root, ev=None):
 
 
 def main():
+    from unitree_rl_gym_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", nargs="*", default=["E1", "E2", "E3"])
     ap.add_argument("--out", default="/tmp/handstand_r5")

@@ -104,6 +104,9 @@ def hbm():
 
 
 def main():
+    from unitree_rl_gym_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     out = {
         "device": str(jax.devices()[0]),
         "mxu_bf16_tflops": round(mxu_bf16(), 1),

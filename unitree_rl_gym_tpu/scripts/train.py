@@ -8,6 +8,9 @@ from unitree_rl_gym_tpu.utils import helpers
 
 def train(args):
     helpers.apply_platform(args)
+    from unitree_rl_gym_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from unitree_rl_gym_tpu.envs.registry import task_registry
     from unitree_rl_gym_tpu.parallel.mesh import (
         distributed_initialize_if_needed,
