@@ -202,6 +202,7 @@ class PPO:
             (jnp.zeros_like(last_value), last_value),
             (transitions.values, transitions.rewards, transitions.dones),
             reverse=True,
+            unroll=8,   # tiny body: loop overhead >> math at T=24
         )
         returns = advantages + transitions.values
         # whole-batch advantage normalization (rsl_rl compute_returns)
@@ -228,8 +229,12 @@ class PPO:
                 new_carry = nets.reset_carry(new_carry, dones[t])
                 return new_carry, (mu, std, value)
 
+            # unroll: the replay body is a tiny LSTM cell (one [mb, in+h]
+            # x [in+h, 4h] matmul); at T=24 x 20 minibatch-updates the
+            # per-iteration loop overhead dominates the math, so unroll
+            # trades instruction count for launch latency
             _, (mu, std, value) = jax.lax.scan(
-                replay, carry0, jnp.arange(T)
+                replay, carry0, jnp.arange(T), unroll=8
             )
             flat = lambda x: x.reshape((-1,) + x.shape[2:])
             mu, std, value = flat(mu), flat(std), flat(value)

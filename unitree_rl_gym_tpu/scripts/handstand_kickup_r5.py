@@ -65,6 +65,41 @@ EXPERIMENTS = {
                 handstand_mid_w=(1.0, 6.0)),
            dict(anchor_kl_coef=0.3, class_target_frac=0.7,
                 clip_param=0.2)),
+    # staged fallen-band grace (the reference's own intent for this
+    # termination, go2_handstand_env.py:211-212 comment): with a LONG
+    # grace window a kick-up attempt is non-lethal at any episode time,
+    # so upright exploration can find the transition; the anchor holds
+    # the skill. Grace is tightened back in E5 before shipping (eval
+    # always uses the stock 1.5 s).
+    "E4": (6000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.3,
+                handstand_anneal_steps=48000.0, handstand_mid_frac=0.3,
+                handstand_mid_th_deg=(15.0, 120.0),
+                handstand_mid_w=(1.0, 6.0),
+                fallen_grace_s=8.0),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
+    # braking drill: mid states concentrated at the ARRIVAL condition
+    # (the deterministic kick-up reaches the band but over/under-rotates;
+    # E1/E2 conv runs of 1-6 steps): th spans the top of the transition
+    # through the hold band, w at the r3-measured arrival rates
+    "E6": (6000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.4,
+                handstand_anneal_steps=48000.0, handstand_mid_frac=0.45,
+                handstand_mid_th_deg=(85.0, 125.0),
+                handstand_mid_w=(2.0, 7.0),
+                fallen_grace_s=8.0),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
+    # grace re-tightening fine-tune (resume E4's best via --src)
+    "E5": (3000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
+                handstand_anneal_steps=0.0, handstand_mid_frac=0.3,
+                handstand_mid_th_deg=(15.0, 120.0),
+                handstand_mid_w=(1.0, 6.0),
+                fallen_grace_s=3.0),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
 }
 
 EVAL_EVERY = 500          # iters between reset-aware evals
@@ -149,26 +184,31 @@ class Evaluator:
         pgz_th = float(-np.cos(np.deg2rad(th_lo)) - 0.01)
         done, pgz, h = self._fn(init_prob, steps, net)(params, seed)
         done = np.asarray(done)
-        ok = (~done) & (np.asarray(pgz) > pgz_th) & (np.asarray(h) > 0.3)
+        pgz = np.asarray(pgz)
+        ok = (~done) & (pgz > pgz_th) & (np.asarray(h) > 0.3)
         run = np.zeros(N_EVAL)
         best = np.zeros(N_EVAL)
         for t in range(ok.shape[0]):
             run = np.where(ok[t], run + 1, 0)
             best = np.maximum(best, run)
-        return best
+        return best, pgz.max(axis=0)
 
     def rates(self, params, net, seed=0):
-        hold = self.runs(params, net, 1.0, 450, seed)
-        conv = self.runs(params, net, 0.0, 500, seed)
+        hold, _ = self.runs(params, net, 1.0, 450, seed)
+        conv, conv_maxg = self.runs(params, net, 0.0, 500, seed)
         return {
             "hold_rate": float((hold >= 200).mean()),
             "conv_rate": float((conv >= 120).mean()),
+            # kick-up INITIATION from upright (r3's 78% metric): reaching
+            # the inverted band at all, regardless of holding it —
+            # separates "not attempting" from "attempting, not braking"
+            "init_rate": float((conv_maxg > 0.2).mean()),
             "hold_runs": hold.astype(int).tolist(),
             "conv_runs": conv.astype(int).tolist(),
         }
 
 
-def run_experiment(name, out_root, ev=None):
+def run_experiment(name, out_root, ev=None, src=None):
     import jax
 
     from unitree_rl_gym_tpu.envs.registry import task_registry
@@ -184,7 +224,9 @@ def run_experiment(name, out_root, ev=None):
     cfg, tcfg = task_registry.get_cfgs("go2_handstand")
     cfg.env.num_envs = 4096
     for k, v in env_over.items():
-        setattr(cfg.init_state, k, v)
+        # RSI knobs live on init_state; termination staging (grace) on env
+        tgt_blk = cfg.init_state if k.startswith("handstand_") else cfg.env
+        setattr(tgt_blk, k, v)
     tcfg.policy.init_noise_std = 0.5
     tcfg.algorithm.entropy_coef = 0.005
     for k, v in algo_over.items():
@@ -195,7 +237,7 @@ def run_experiment(name, out_root, ev=None):
     env = task_registry.get_task_class("go2_handstand")(cfg)
     runner = OnPolicyRunner(env, tcfg, log_dir=os.path.join(out, "logs"))
 
-    holder = load_flat_params(ART)
+    holder = load_flat_params(src or ART)
     runner.train_state = runner.train_state.replace(
         params=jax.tree.map(lambda a, b: b.astype(a.dtype) if hasattr(
             a, "dtype") else b, runner.train_state.params, holder)
@@ -215,10 +257,12 @@ def run_experiment(name, out_root, ev=None):
         r = ev.rates(runner.train_state.params, runner.net)
         it = runner.current_learning_iteration
         print(f"[{name}] it {it}: hold {r['hold_rate']:.2f} "
-              f"conv {r['conv_rate']:.2f} runs {sorted(r['conv_runs'])[-4:]}",
+              f"conv {r['conv_rate']:.2f} init {r['init_rate']:.2f} "
+              f"runs {sorted(r['conv_runs'])[-4:]}",
               flush=True)
         history.append(dict(it=it, hold_rate=r["hold_rate"],
-                            conv_rate=r["conv_rate"]))
+                            conv_rate=r["conv_rate"],
+                            init_rate=r["init_rate"]))
         # selection: conversion first, but never ship a hold regression
         # below the 50% acceptance bar
         score = (r["conv_rate"] if r["hold_rate"] >= 0.5 else -1.0,
@@ -241,11 +285,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--exp", nargs="*", default=["E1", "E2", "E3"])
     ap.add_argument("--out", default="/tmp/handstand_r5")
+    ap.add_argument("--src", default=None,
+                    help="flat artifact dir to fine-tune from "
+                         "(default: the shipped holder; also the anchor)")
     args = ap.parse_args()
     results = {}
     ev = Evaluator()
     for name in args.exp:
-        results[name] = run_experiment(name, args.out, ev)
+        results[name] = run_experiment(name, args.out, ev, src=args.src)
     print(json.dumps(results, indent=1, default=str))
 
 
