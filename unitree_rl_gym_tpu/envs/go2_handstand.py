@@ -111,6 +111,23 @@ class GO2HandstandEnv(LeggedEnv):
         terminate."""
         cf = ctx.contact_forces[:, self.termination_contact_indices, :]
         illegal = jnp.any(jnp.linalg.norm(cf, axis=-1) > 1.0, axis=1)
+        # Training-time staging of the illegal-contact termination
+        # (cfg.env.illegal_contact_grace_s, default 0 = stock reference
+        # behavior, and 0 in every eval): the r5 arrival diagnostics
+        # (scripts/handstand_diag.py, doc/handstand_r5_notes.md) showed
+        # the policy attempts its kick-up 0.1-0.4 s after reset and every
+        # attempt dies by illegal contact DURING the transition — PPO can
+        # never collect reward through the contact-rich trajectory, so
+        # the kick never refines. Granting a short immunity window at
+        # episode start makes the transition learnable; holds are
+        # unaffected (they must stay contact-clean past the window), and
+        # the knob anneals to 0 before shipping — same staging philosophy
+        # as the fallen band below.
+        ig_s = float(getattr(self.cfg.env, "illegal_contact_grace_s", 0.0))
+        if ig_s > 0.0:
+            illegal = illegal & (
+                ctx.episode_length > int(round(ig_s / self.dt))
+            )
         cos_up = ctx.projected_gravity[:, 2]
         fallen = (cos_up > -0.2) & (cos_up < 0.2)
         grace_s = getattr(self.cfg.env, "fallen_grace_s", 1.0)

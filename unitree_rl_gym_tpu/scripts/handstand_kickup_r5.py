@@ -91,6 +91,39 @@ EXPERIMENTS = {
                 fallen_grace_s=8.0),
            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                 clip_param=0.2)),
+    # staged ILLEGAL-CONTACT termination (r5 arrival diagnostics: every
+    # deterministic kick-up attempt starts 0.1-0.4 s after reset and dies
+    # by illegal contact mid-transition at ~10 rad/s with the base at
+    # ~0.19 m — PPO never collects reward through the contact-rich
+    # trajectory, so the kick never refines). A 1 s immunity window at
+    # episode start makes the transition trainable; holds still must be
+    # contact-clean past the window. Anneal back via E8/E9 before any
+    # artifact ships (eval uses stock terminations throughout).
+    "E7": (6000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.4,
+                handstand_anneal_steps=48000.0, handstand_mid_frac=0.45,
+                handstand_mid_th_deg=(85.0, 125.0),
+                handstand_mid_w=(2.0, 7.0),
+                fallen_grace_s=8.0, illegal_contact_grace_s=1.0),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
+    # termination re-tightening chain (resume prior best via --src)
+    "E8": (3000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
+                handstand_anneal_steps=0.0, handstand_mid_frac=0.3,
+                handstand_mid_th_deg=(85.0, 125.0),
+                handstand_mid_w=(2.0, 7.0),
+                fallen_grace_s=3.0, illegal_contact_grace_s=0.5),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
+    "E9": (3000,
+           dict(handstand_init_prob=1.0, handstand_init_prob_final=0.6,
+                handstand_anneal_steps=0.0, handstand_mid_frac=0.3,
+                handstand_mid_th_deg=(85.0, 125.0),
+                handstand_mid_w=(2.0, 7.0),
+                fallen_grace_s=1.5),
+           dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
@@ -273,6 +306,9 @@ def run_experiment(name, out_root, ev=None, src=None):
             export_policy(runner, os.path.join(out, "best_export"))
         json.dump(dict(history=history, best=best),
                   open(os.path.join(out, "campaign.json"), "w"), indent=1)
+    # final policy too (staged-termination experiments may only show
+    # their value after a tightening phase chained via --src)
+    export_policy(runner, os.path.join(out, "final_export"))
     print(f"[{name}] done. best it {best['it']} score {best['score']}",
           flush=True)
     return best
