@@ -188,3 +188,48 @@ def test_anchor_kl_and_class_weights_pin_the_skill(tmp_path):
         np.testing.assert_array_equal,
         jax.tree.map(np.asarray, anchored.train_state.params), back,
     )
+
+
+def test_nan_guard_skips_nonfinite_minibatch():
+    """AlgorithmCfg.nan_guard: a minibatch with non-finite gradients must
+    leave params, adam moments and the adaptive LR untouched (one critic
+    explosion otherwise NaNs every parameter through the global-norm
+    clip — the E7 failure, doc/handstand_r5_notes.md)."""
+    import optax
+
+    from unitree_rl_gym_tpu.rl.ppo import PPO
+    from unitree_rl_gym_tpu.utils.config import AlgorithmCfg
+
+    alg = PPO(net=None, cfg=AlgorithmCfg(), num_steps=1, num_envs=1)
+    opt = alg.make_optimizer()
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    opt_state = opt.init(params)
+    lr = jnp.asarray(1e-3)
+
+    # finite step: applied
+    good = {"w": jnp.full((4,), 0.1), "b": jnp.full((2,), 0.2)}
+    p2, os2, lr2, skipped = alg._apply_step(
+        opt, params, opt_state, lr, good, jnp.asarray(1.0),
+        jnp.asarray(0.01),
+    )
+    assert float(skipped) == 0.0
+    assert not np.allclose(np.asarray(p2["w"]), np.asarray(params["w"]))
+
+    # non-finite step: fully skipped
+    bad = {"w": jnp.full((4,), np.nan), "b": jnp.full((2,), 0.2)}
+    p3, os3, lr3, skipped = alg._apply_step(
+        opt, p2, os2, lr2, bad, jnp.asarray(np.nan), jnp.asarray(np.nan),
+    )
+    assert float(skipped) == 1.0
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.tree.map(np.asarray, p3), jax.tree.map(np.asarray, p2),
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        os3, os2,
+    )
+    assert float(lr3) == float(lr2)
+    assert np.all(np.isfinite(np.asarray(p3["w"])))

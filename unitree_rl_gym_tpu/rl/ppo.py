@@ -258,7 +258,14 @@ class PPO:
             )
             frac = jnp.mean(c)
             tau = cfg.class_target_frac
-            w1 = jnp.where(frac < tau, tau / (frac + 1e-6), 1.0)
+            # cap: an uncapped tau/frac reaches 100-1000x when the
+            # critical fraction collapses and NaNs the update (E7,
+            # doc/handstand_r5_notes.md finding 3)
+            w1 = jnp.where(
+                frac < tau,
+                jnp.minimum(tau / (frac + 1e-6), cfg.class_weight_cap),
+                1.0,
+            )
             w0 = jnp.where(
                 frac < tau, (1.0 - tau) / (1.0 - frac + 1e-6), 1.0
             )
@@ -325,6 +332,37 @@ class PPO:
         # the adaptive-LR KL stays UNweighted (rsl_rl scheduler semantics)
         kl = jnp.mean(nets.kl_divergence(b.mu, b.std, mu, std))
         return loss, (surrogate_loss, value_loss, kl)
+
+    def _apply_step(self, opt, params, opt_state, lr, grads, loss, kl):
+        """One optimizer application, optionally NaN-guarded
+        (cfg.nan_guard): a non-finite loss/grad/kl minibatch is skipped —
+        params, adam moments and the adaptive LR all keep their previous
+        values — instead of NaNing every parameter through the
+        global-norm clip (the E7 failure, doc/handstand_r5_notes.md).
+        Returns (params, opt_state, lr, skipped_flag f32)."""
+        if not self.cfg.nan_guard:
+            lr = self._adapt_lr(lr, kl)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: -lr * u, updates)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, lr, jnp.zeros(())
+        ok = (
+            jnp.isfinite(loss)
+            & jnp.isfinite(optax.global_norm(grads))
+            & jnp.isfinite(kl)
+        )
+        safe = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        lr = jnp.where(ok, self._adapt_lr(lr, kl), lr)
+        new_updates, new_opt = opt.update(safe, opt_state, params)
+        # a skipped step must not decay the adam moments either
+        opt_state = jax.tree.map(
+            lambda a, b: jnp.where(ok, a, b), new_opt, opt_state
+        )
+        updates = jax.tree.map(
+            lambda u: jnp.where(ok, -lr * u, 0.0), new_updates
+        )
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, lr, 1.0 - ok.astype(jnp.float32)
 
     def _adapt_lr(self, lr, kl):
         """rsl_rl adaptive schedule: x1.5 toward desired_kl, clamped."""
@@ -421,11 +459,12 @@ class PPO:
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, lr, carry0, dones, ts.anchor_params)
-                lr = self._adapt_lr(lr, kl)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                updates = jax.tree.map(lambda u: -lr * u, updates)
-                params = optax.apply_updates(params, updates)
-                stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
+                params, opt_state, lr, skipped = self._apply_step(
+                    opt, params, opt_state, lr, grads, loss, kl
+                )
+                z = lambda x: jnp.where(skipped > 0.5, 0.0, x)
+                stats = (stats[0] + z(sl), stats[1] + z(vl),
+                         stats[2] + z(kl), stats[3] + skipped)
                 return (params, opt_state, lr, stats), None
 
             def epoch_step(carry, _k):
@@ -479,11 +518,12 @@ class PPO:
                 (loss, (sl, vl, kl)), grads = jax.value_and_grad(
                     self._loss, has_aux=True
                 )(params, batch, lr, None, None, ts.anchor_params)
-                lr = self._adapt_lr(lr, kl)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                updates = jax.tree.map(lambda u: -lr * u, updates)
-                params = optax.apply_updates(params, updates)
-                stats = (stats[0] + sl, stats[1] + vl, stats[2] + kl)
+                params, opt_state, lr, skipped = self._apply_step(
+                    opt, params, opt_state, lr, grads, loss, kl
+                )
+                z = lambda x: jnp.where(skipped > 0.5, 0.0, x)
+                stats = (stats[0] + z(sl), stats[1] + z(vl),
+                         stats[2] + z(kl), stats[3] + skipped)
                 return (params, opt_state, lr, stats), None
 
             def epoch_step(carry, _k):
@@ -491,17 +531,19 @@ class PPO:
                 return carry, None
 
         zero = jnp.zeros(())
-        init = (ts.params, ts.opt_state, ts.lr, (zero, zero, zero))
+        init = (ts.params, ts.opt_state, ts.lr, (zero, zero, zero, zero))
         keys = jnp.arange(cfg.num_learning_epochs)
         (params, opt_state, lr, stats), _ = jax.lax.scan(
             epoch_step, init, keys
         )
         n_updates = cfg.num_learning_epochs * cfg.num_mini_batches
+        n_applied = jnp.maximum(n_updates - stats[3], 1.0)
         metrics = {
-            "surrogate_loss": stats[0] / n_updates,
-            "value_loss": stats[1] / n_updates,
-            "kl": stats[2] / n_updates,
+            "surrogate_loss": stats[0] / n_applied,
+            "value_loss": stats[1] / n_applied,
+            "kl": stats[2] / n_applied,
             "lr": lr,
+            "nonfinite_steps": stats[3],
         }
         return ts.replace(params=params, opt_state=opt_state, lr=lr), metrics
 

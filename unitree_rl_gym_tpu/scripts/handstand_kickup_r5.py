@@ -284,6 +284,7 @@ def run_experiment(name, out_root, ev=None, src=None):
 
     history = [dict(it=0, **{k: base[k] for k in ("hold_rate", "conv_rate")})]
     best = dict(score=(-1.0, -1.0), it=0)
+    dead_evals = 0
     for chunk_start in range(0, iters, EVAL_EVERY):
         n = min(EVAL_EVERY, iters - chunk_start)
         runner.learn(n, init_at_random_ep_len=True)
@@ -296,6 +297,16 @@ def run_experiment(name, out_root, ev=None, src=None):
         history.append(dict(it=it, hold_rate=r["hold_rate"],
                             conv_rate=r["conv_rate"],
                             init_rate=r["init_rate"]))
+        # watchdog: a run whose hold AND initiation are both zero has
+        # diverged past recovery (E7's critic explosion destroyed the
+        # policy in ~100 iters); stop burning chip time — the best
+        # checkpoint is already on disk
+        dead = r["hold_rate"] == 0.0 and r["init_rate"] == 0.0
+        dead_evals = dead_evals + 1 if dead else 0
+        if dead_evals >= 2:
+            print(f"[{name}] early stop: policy destroyed "
+                  f"(2 consecutive dead evals)", flush=True)
+            break
         # selection: conversion first, but never ship a hold regression
         # below the 50% acceptance bar
         score = (r["conv_rate"] if r["hold_rate"] >= 0.5 else -1.0,

@@ -331,6 +331,19 @@ class AlgorithmCfg:
     # falls below this, per-sample importance weights rebalance the
     # surrogate/value/entropy means (one-sided — never downweights).
     class_target_frac: float = 0.0
+    # class_weight_cap: upper bound on the class-1 importance weight
+    # tau/frac. Without it, a minibatch whose task-critical fraction
+    # collapses (e.g. every env fallen under a long termination grace)
+    # gets weights of 100-1000x on a handful of samples — measured to
+    # explode the surrogate variance and NaN a fine-tune (E7,
+    # doc/handstand_r5_notes.md).
+    class_weight_cap: float = 20.0
+    # nan_guard: skip any minibatch update whose loss or gradients are
+    # non-finite (params/optimizer state/LR keep their previous values
+    # for that step). One critic-explosion minibatch otherwise NaNs every
+    # parameter through the global-norm clip. No rsl_rl analog; semantics
+    # identical on any run that never produces a non-finite step.
+    nan_guard: bool = True
 
 
 @dataclass
