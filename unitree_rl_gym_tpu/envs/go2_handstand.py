@@ -610,6 +610,7 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
         front_hip_neutral=2.0,
         front_feet_together=1.5,
         feet_contact_forces=0.0,
+        inversion_height=0.0,   # training-time shaping; campaign recipes only
         termination=-5.0,
         tracking_lin_vel=0.0,
         tracking_ang_vel=0.0,

@@ -190,6 +190,19 @@ def hs_base_height(ctx):
     return jnp.exp(-8.0 * err * err)
 
 
+def inversion_height(ctx):
+    """Training-time shaping (no reference analog; scale 0 in the stock
+    config): the PRODUCT of the inverted-orientation bell and the
+    base-height bell. The r5 arrival diagnostics showed the kick-up
+    policy learns a ground-level flip — near-perfect inversion (peak
+    g_z 0.98) at base height 0.13-0.21 m, where every attempt dies by
+    illegal contact — because the flat `orientation` term pays the same
+    for inversion at any height. This term only pays for inversion
+    ACHIEVED HIGH, making the press-up strictly more profitable than
+    the face-roll (doc/handstand_r5_notes.md finding 4)."""
+    return hs_orientation(ctx) * hs_base_height(ctx)
+
+
 def front_feet_contact(ctx):
     c = (ctx.contact_forces[:, ctx.front_feet_indices, 2] > 5.0).astype(
         jnp.float32
@@ -283,6 +296,7 @@ HANDSTAND_REWARDS = dict(
     # handstand overrides orientation/base_height with exp-shaped versions
     orientation=hs_orientation,
     base_height=hs_base_height,
+    inversion_height=inversion_height,
     front_feet_contact=front_feet_contact,
     hind_feet_no_contact=hind_feet_no_contact,
     pose=pose,

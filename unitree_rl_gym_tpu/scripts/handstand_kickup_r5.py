@@ -124,6 +124,26 @@ EXPERIMENTS = {
                 fallen_grace_s=1.5),
            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                 clip_param=0.2)),
+    # anti-face-roll shaping (r5 diagnostics on E7's final policy: 32/33
+    # attempts invert near-perfectly — peak g_z med 0.56, p90 0.98 — but
+    # at base height 0.13-0.21 m, a ground-level flip that dies by
+    # illegal contact; only 3/33 ever reached band+height). The flat
+    # orientation term pays the same for inversion at any height, so the
+    # flip is the cheaper optimum. E10 shifts the orientation payout
+    # onto the orientation x height product (rewards.inversion_height)
+    # so only a PRESSED-UP inversion pays, widens the mid drill back to
+    # the full press phase, and stretches the illegal-contact immunity
+    # to 1.5 s (a press is slower than a flip and transits
+    # thigh/calf-contact crouches).
+    "E10": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.4,
+                 handstand_anneal_steps=48000.0, handstand_mid_frac=0.4,
+                 handstand_mid_th_deg=(15.0, 125.0),
+                 handstand_mid_w=(1.0, 7.0),
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=1.0, rew_inversion_height=8.0),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
@@ -257,9 +277,13 @@ def run_experiment(name, out_root, ev=None, src=None):
     cfg, tcfg = task_registry.get_cfgs("go2_handstand")
     cfg.env.num_envs = 4096
     for k, v in env_over.items():
-        # RSI knobs live on init_state; termination staging (grace) on env
-        tgt_blk = cfg.init_state if k.startswith("handstand_") else cfg.env
-        setattr(tgt_blk, k, v)
+        # RSI knobs live on init_state; reward-scale overrides use a
+        # rew_ prefix; termination staging (grace) lives on env
+        if k.startswith("rew_"):
+            cfg.rewards.scales[k[4:]] = v
+        else:
+            tgt_blk = cfg.init_state if k.startswith("handstand_") else cfg.env
+            setattr(tgt_blk, k, v)
     tcfg.policy.init_noise_std = 0.5
     tcfg.algorithm.entropy_coef = 0.005
     for k, v in algo_over.items():
