@@ -144,6 +144,23 @@ EXPERIMENTS = {
                  rew_orientation=1.0, rew_inversion_height=8.0),
             dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                  clip_param=0.2)),
+    # arrival-speed braking drill (chain from E10's best via --src): the
+    # E7/E10 diagnostics measured entry d(g_z)/dt of 10-17 /s (~= pitch
+    # rate at th 90 deg) on the policy's own kick-ups, but every earlier
+    # drill capped mid-state w at 6-7 rad/s — the policy never practices
+    # braking at the speed it actually arrives. E11 drills th through
+    # the top of the transition at the measured arrival rates, keeps the
+    # E10 shaping so slower, higher presses stay more profitable, and
+    # holds the graces open.
+    "E11": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.4,
+                 handstand_anneal_steps=24000.0, handstand_mid_frac=0.45,
+                 handstand_mid_th_deg=(80.0, 140.0),
+                 handstand_mid_w=(3.0, 14.0),
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=1.0, rew_inversion_height=8.0),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
