@@ -178,17 +178,27 @@ class GO2HandstandEnv(LeggedEnv):
         return obs, obs
 
     def ppo_state_class_fn(self, obs):
-        """Task-critical-state classifier for the PPO fine-tune knobs
-        (AlgorithmCfg.anchor_kl_coef / class_target_frac): 1.0 on
-        INVERTED-side states (projected_gravity_z > 0) — the hemisphere
-        where the consolidated hold skill lives and must not erode under
-        upright-heavy sample mixes (upright idle is g_z ~ -1;
-        doc/handstand_r4_notes.md). The whole hemisphere, not just the
-        RSI band, because balance excursions and the final braking phase
-        of a kick-up pass through g_z 0..0.24 and the hold feedback must
-        stay pinned there too. Reads g_z straight from the obs (col 5 of
+        """Task-critical-state classifier for the PPO re-weighting
+        (AlgorithmCfg.class_target_frac): 1.0 above a g_z threshold
+        (cfg.init_state.handstand_class_gz_threshold, default 0.0 = the
+        inverted hemisphere — upright idle is g_z ~ -1,
+        doc/handstand_r4_notes.md). The r5 entry work lowers the
+        threshold to -0.8 so pivot-ENTRY states (a 40 deg planted lean
+        is g_z ~ -0.77) are also protected from being drowned by
+        upright-idle samples. Reads g_z straight from the obs (col 5 of
         the 46-dim layout; unscaled, noise sigma 0.05 is negligible
-        against the hemisphere split)."""
+        against the split)."""
+        th = float(getattr(
+            self.cfg.init_state, "handstand_class_gz_threshold", 0.0
+        ))
+        return (obs[..., 5] > th).astype(jnp.float32)
+
+    def ppo_anchor_mask_fn(self, obs):
+        """Anchor-KL mask (AlgorithmCfg.anchor_kl_coef): ALWAYS the
+        inverted hemisphere (g_z > 0) regardless of the re-weighting
+        threshold above — the hold skill lives there and must not erode,
+        while entry/transition states below the hemisphere are exactly
+        what a kick-up fine-tune must remain free to change."""
         return (obs[..., 5] > 0.0).astype(jnp.float32)
 
     def _fk_table(self, ths, pose_fn):

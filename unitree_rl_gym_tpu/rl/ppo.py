@@ -70,9 +70,18 @@ class PPO:
     num_envs: int
     # optional task-critical-state classifier obs -> [B] weight in [0,1]
     # (e.g. GO2HandstandEnv.ppo_state_class_fn: inverted-band states).
-    # Drives both cfg.class_target_frac re-weighting and the
-    # cfg.anchor_kl_coef mask; both features are inert when None.
+    # Drives cfg.class_target_frac re-weighting, and the
+    # cfg.anchor_kl_coef mask unless anchor_mask_fn is given; all
+    # features are inert when None.
     state_class_fn: Any = None
+    # optional separate mask for the anchor-KL penalty (defaults to
+    # state_class_fn). Needed when the re-weighting class must be wider
+    # than the protected region: the r5 conversion work up-weights
+    # transition/entry states (g_z > -0.8) so they aren't drowned by
+    # upright idle, but those states must NOT be pinned to the anchor —
+    # they are exactly what training must change
+    # (env.ppo_anchor_mask_fn; doc/handstand_r5_notes.md finding 5).
+    anchor_mask_fn: Any = None
 
     # ------------------------------------------------------------------
 
@@ -323,8 +332,9 @@ class PPO:
                 jax.lax.stop_gradient(a_mu), jax.lax.stop_gradient(a_std),
                 mu, std,
             )
+            mask_fn = self.anchor_mask_fn or self.state_class_fn
             mask = jax.lax.stop_gradient(
-                self.state_class_fn(b.obs).astype(akl.dtype)
+                mask_fn(b.obs).astype(akl.dtype)
             )
             anchor_loss = jnp.sum(mask * akl) / (jnp.sum(mask) + 1e-6)
             loss = loss + cfg.anchor_kl_coef * anchor_loss

@@ -52,6 +52,7 @@ class OnPolicyRunner:
             # drives class_target_frac re-weighting and the anchor-KL
             # mask (AlgorithmCfg; GO2HandstandEnv.ppo_state_class_fn)
             state_class_fn=getattr(env, "ppo_state_class_fn", None),
+            anchor_mask_fn=getattr(env, "ppo_anchor_mask_fn", None),
         )
         critic_obs_dim = env.num_privileged_obs or env.num_obs
         key = jax.random.PRNGKey(train_cfg.seed)

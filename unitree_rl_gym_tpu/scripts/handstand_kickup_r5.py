@@ -161,6 +161,26 @@ EXPERIMENTS = {
                  rew_orientation=1.0, rew_inversion_height=8.0),
             dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                  clip_param=0.2)),
+    # pivot-ENTRY drill (chain from E11's best via --src). The r5 basin
+    # probe (handstand_basin.py on E11: 87.5% of planted mid states
+    # convert to >= 3 s holds, across th 40-140 AND w up to 14 rad/s —
+    # including 88% from near-static th 40-70 leans) proved the brake/
+    # press skill is complete; the only broken link is upright ->
+    # planted lean. E12 drills exactly that entry (static-ish th 30-75
+    # leans), widens the re-weighting class to g_z > -0.8 so entry
+    # states aren't drowned by upright idle (the anchor mask stays
+    # g_z > 0 via ppo_anchor_mask_fn), and halves the remaining flat
+    # orientation pay so the dive-flip attractor loses to the pivot.
+    "E12": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.4,
+                 handstand_anneal_steps=24000.0, handstand_mid_frac=0.35,
+                 handstand_mid_th_deg=(30.0, 75.0),
+                 handstand_mid_w=(0.5, 3.0),
+                 handstand_class_gz_threshold=-0.8,
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=0.5, rew_inversion_height=8.0),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
