@@ -53,7 +53,8 @@ def build(task, num_envs):
     pc._class_name = tcfg.runner.policy_class_name
     net = nets.build_network(pc, env.num_actions)
     alg = PPO(net=net, cfg=tcfg.algorithm,
-              num_steps=tcfg.runner.num_steps_per_env, num_envs=num_envs)
+              num_steps=tcfg.runner.num_steps_per_env, num_envs=num_envs,
+              share_critic_obs=env.num_privileged_obs is None)
     ts = alg.init(jax.random.PRNGKey(0), env.num_obs,
                   env.num_privileged_obs or env.num_obs)
     env_state, obs = env.reset_all(jax.random.PRNGKey(1))

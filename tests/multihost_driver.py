@@ -60,7 +60,8 @@ def main():
 
     net = nets.build_network(tcfg.policy, env.num_actions)
     alg = PPO(net=net, cfg=tcfg.algorithm,
-              num_steps=tcfg.runner.num_steps_per_env, num_envs=num_envs)
+              num_steps=tcfg.runner.num_steps_per_env, num_envs=num_envs,
+              share_critic_obs=env.num_privileged_obs is None)
     # params: computed identically on every process (same seed), passed to
     # the jitted step as host-local numpy => treated as replicated input
     ts = jax.device_get(alg.init(jax.random.PRNGKey(0), env.num_obs,

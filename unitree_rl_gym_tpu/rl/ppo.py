@@ -82,6 +82,14 @@ class PPO:
     # they are exactly what training must change
     # (env.ppo_anchor_mask_fn; doc/handstand_r5_notes.md finding 5).
     anchor_mask_fn: Any = None
+    # critic_obs is byte-identical to obs for tasks without privileged
+    # observations (go2/go2_handstand; runner sets this from
+    # env.num_privileged_obs). When True the rollout stores a 0-width
+    # placeholder instead of the duplicate and the update reads the
+    # critic input from the obs columns — dropping 48 of ~142 packed
+    # columns cuts the update's pack+permute data motion by a measured
+    # ~0.7 ms/iter at 4096 envs (doc/profile_r5.md).
+    share_critic_obs: bool = False
 
     # ------------------------------------------------------------------
 
@@ -138,7 +146,15 @@ class PPO:
             rew_b = rew + gamma * value * extras["time_outs"].astype(rew.dtype)
             new_carry = nets.reset_carry(new_carry, done)
             t = Transition(
-                obs=obs, critic_obs=critic_obs, actions=actions,
+                # share_critic_obs: store a 0-width placeholder instead of
+                # duplicating obs (the update reads critic input from the
+                # obs columns; see _batch_critic_obs)
+                obs=obs,
+                critic_obs=(
+                    critic_obs[:, :0] if self.share_critic_obs
+                    else critic_obs
+                ),
+                actions=actions,
                 rewards=rew_b, dones=done, values=value, log_probs=logp,
                 mu=mu, std=std,
             )
@@ -228,12 +244,19 @@ class PPO:
         [T, B, ...] and the LSTM is replayed from carry0 with done masking;
         for MLPs the batch is flat [B, ...]."""
         cfg = self.cfg
+        # share_critic_obs: the stored critic_obs is a 0-width placeholder
+        # and the critic input is the obs columns
+        bco = (
+            (lambda obs, cobs: obs) if self.share_critic_obs
+            else (lambda obs, cobs: cobs)
+        )
         if self.net.is_recurrent:
             T = batch.obs.shape[0]
 
             def replay(carry, t):
                 mu, std, value, new_carry = self.net.apply(
-                    params, batch.obs[t], batch.critic_obs[t], carry
+                    params, batch.obs[t],
+                    bco(batch.obs[t], batch.critic_obs[t]), carry
                 )
                 new_carry = nets.reset_carry(new_carry, dones[t])
                 return new_carry, (mu, std, value)
@@ -251,7 +274,8 @@ class PPO:
         else:
             b = batch
             mu, std, value, _ = self.net.apply(
-                params, b.obs, b.critic_obs, self.net.initial_carry(b.obs.shape[0])
+                params, b.obs, bco(b.obs, b.critic_obs),
+                self.net.initial_carry(b.obs.shape[0])
             )
 
         # per-sample weights: one-sided class rebalancing — when the
@@ -325,7 +349,7 @@ class PPO:
                 "anchor_kl_coef supports feed-forward policies only"
             )
             a_mu, a_std, _, _ = self.net.apply(
-                anchor_params, b.obs, b.critic_obs,
+                anchor_params, b.obs, bco(b.obs, b.critic_obs),
                 self.net.initial_carry(b.obs.shape[0]),
             )
             akl = nets.kl_divergence(

@@ -53,6 +53,9 @@ class OnPolicyRunner:
             # mask (AlgorithmCfg; GO2HandstandEnv.ppo_state_class_fn)
             state_class_fn=getattr(env, "ppo_state_class_fn", None),
             anchor_mask_fn=getattr(env, "ppo_anchor_mask_fn", None),
+            # tasks without privileged observations feed the critic the
+            # actor's obs; don't store/pack/permute the duplicate
+            share_critic_obs=env.num_privileged_obs is None,
         )
         critic_obs_dim = env.num_privileged_obs or env.num_obs
         key = jax.random.PRNGKey(train_cfg.seed)

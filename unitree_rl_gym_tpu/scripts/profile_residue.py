@@ -25,13 +25,23 @@ import time
 
 def timeit(fn, args, iters=20):
     import jax
+    import numpy as np
+
+    def fetch(out):
+        # force completion with a 1-element host fetch:
+        # jax.block_until_ready does not reliably await device completion
+        # on the axon-tunneled backend (scripts/roofline.py methodology
+        # note; the difference is invisible for big chained programs but
+        # catastrophic for small probes)
+        leaf = jax.tree.leaves(out)[0]
+        return np.asarray(leaf.ravel()[0:1])
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -57,16 +67,22 @@ def main():
     train_step, carry, spi = bench.build(args.task, args.num_envs)
     ms_a = timeit(train_step, carry, args.iters)
 
-    # rebuild the pieces (same configs as bench.build)
-    cfg, tcfg = task_registry.get_cfgs(args.task)
+    # rebuild the pieces (same configs as bench.build, incl. the
+    # bench's _terrain suffix convention)
+    reg_name = args.task.removesuffix("_terrain")
+    cfg, tcfg = task_registry.get_cfgs(reg_name)
     cfg.env.num_envs = args.num_envs
-    env = task_registry.get_task_class(args.task)(cfg)
+    if args.task.endswith("_terrain"):
+        cfg.terrain.mesh_type = "heightfield"
+        cfg.terrain.curriculum = True
+    env = task_registry.get_task_class(reg_name)(cfg)
     pc = tcfg.policy
     pc._class_name = tcfg.runner.policy_class_name
     net = nets.build_network(pc, env.num_actions)
     alg = PPO(net=net, cfg=tcfg.algorithm,
               num_steps=tcfg.runner.num_steps_per_env,
-              num_envs=args.num_envs)
+              num_envs=args.num_envs,
+              share_critic_obs=env.num_privileged_obs is None)
     ts = alg.init(jax.random.PRNGKey(0), env.num_obs,
                   env.num_privileged_obs or env.num_obs)
     env_state, obs = env.reset_all(jax.random.PRNGKey(1))
@@ -101,10 +117,13 @@ def main():
     ms_c = timeit(env_only, (env_state, obs), args.iters)
 
     # ---- D: constant actions, noise off ----
-    cfg2, _ = task_registry.get_cfgs(args.task)
+    cfg2, _ = task_registry.get_cfgs(reg_name)
     cfg2.env.num_envs = args.num_envs
+    if args.task.endswith("_terrain"):
+        cfg2.terrain.mesh_type = "heightfield"
+        cfg2.terrain.curriculum = True
     cfg2.noise.add_noise = False
-    env_nn = task_registry.get_task_class(args.task)(cfg2)
+    env_nn = task_registry.get_task_class(reg_name)(cfg2)
     es2, obs2 = env_nn.reset_all(jax.random.PRNGKey(1))
 
     @jax.jit
