@@ -115,7 +115,8 @@ def test_pallas_sharded_terrain_gh_and_pxy():
     s_pal, aux_pal = pallas_step.control_step_pallas_sharded(
         *args, mesh=mesh, interpret=True, gh=gh
     )
-    assert "p_xy" in aux_pal and aux_pal["p_xy"].shape == gh.shape + (2,)
+    ncp = gh.shape[0]
+    assert "p_xy" in aux_pal and aux_pal["p_xy"].shape == (2 * ncp, gh.shape[1])
     np.testing.assert_allclose(
         np.asarray(s_soa.base_pos), np.asarray(s_pal.base_pos), atol=5e-3
     )

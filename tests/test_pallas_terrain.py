@@ -77,7 +77,7 @@ def test_sampled_heights_nonzero_on_terrain(terrain_env):
     phys, *_ = _states(env)
     gh = pb.sample_point_heights(env.robot.dyn, phys, env.ground_fn)
     m = pb.soa_model_for(env.robot.dyn)
-    assert gh.shape == (N, m.ncp)
+    assert gh.shape == (m.ncp, N)   # row-layout contract (r5)
     assert np.all(np.isfinite(np.asarray(gh)))
     # envs stand on raised sub-terrain platforms -> some heights > 0
     assert float(jnp.max(jnp.abs(gh))) > 0.01
@@ -147,7 +147,8 @@ def test_gh_carry_matches_fresh_sampling(terrain_env):
     positions, so the carry is lag-free by construction."""
     env = terrain_env
     state, _ = env.reset_all(jax.random.PRNGKey(3))
-    assert state.gh is not None and state.gh.shape[1] > 0
+    assert state.gh is not None and state.gh.shape[0] > 0
+    assert state.gh.shape[1] == N               # row-layout contract (r5)
     step = jax.jit(env.step)
     state2, _, _, _, reset, _ = step(
         state, jnp.zeros((N, env.num_actions))
@@ -158,6 +159,6 @@ def test_gh_carry_matches_fresh_sampling(terrain_env):
     live = ~np.asarray(reset)
     assert live.any()
     np.testing.assert_allclose(
-        np.asarray(state2.gh)[live], np.asarray(fresh)[live],
+        np.asarray(state2.gh)[:, live], np.asarray(fresh)[:, live],
         atol=1e-5,
     )

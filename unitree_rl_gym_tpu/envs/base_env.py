@@ -73,12 +73,15 @@ class EnvState(struct.PyTreeNode):
     obs: jax.Array                  # [N, num_obs]
     priv_obs: Optional[jax.Array]   # [N, num_priv] or None
     key: jax.Array                  # PRNG key
-    # terrain only: step-start per-contact-point ground heights [N, ncp],
-    # computed from the PREVIOUS step's end-of-step point xy (aux["p_xy"])
-    # — end-of-step-k positions ARE start-of-step-k+1 positions, so this
-    # carry is exactly as fresh as re-sampling at step start but needs
-    # neither an XLA FK nor an in-scan heightfield gather (both r2/r3
-    # terrain bottlenecks; see win/win_corner below).
+    # terrain only: step-start per-contact-point ground heights in ROW
+    # layout [ncp, N] (the backends' native tile/SoA layout — r5: the
+    # [N, ncp] contract paid two full transposes per control step,
+    # doc/profile_r5.md), computed from the PREVIOUS step's end-of-step
+    # point xy (aux["p_xy"], [2*ncp, N] rows) — end-of-step-k positions
+    # ARE start-of-step-k+1 positions, so this carry is exactly as fresh
+    # as re-sampling at step start but needs neither an XLA FK nor an
+    # in-scan heightfield gather (both r2/r3 terrain bottlenecks; see
+    # win/win_corner below).
     gh: Optional[jax.Array] = None
     # terrain only: per-env heightfield windows [N, W, W] + their grid
     # corners [N, 2]. Gathering from the global heightfield inside the
@@ -343,10 +346,12 @@ class LeggedEnv:
         return jnp.asarray(np.asarray(x)[:, :2][m.cp_perm], jnp.float32)
 
     def _reset_gh(self, base_pos):
-        """Exact gh at base xy + default-pose point offsets (top-level
-        gather; used by reset_all only — in-scan resets use the platform
-        origin height instead, see step)."""
-        return self.ground_fn(base_pos[:, None, :2] + self.cp_xy0[None])
+        """Exact gh rows [ncp, N] at base xy + default-pose point offsets
+        (top-level gather; used by reset_all only — in-scan resets use
+        the platform origin height instead, see step)."""
+        return jnp.transpose(
+            self.ground_fn(base_pos[:, None, :2] + self.cp_xy0[None])
+        )
 
     def refresh_terrain(self, state: EnvState) -> EnvState:
         """Re-center every env's heightfield window on its current base
@@ -774,7 +779,7 @@ class LeggedEnv:
         #      until refresh_terrain re-centers them. ----
         if self.terrain is not None:
             gh_live = (
-                self.grid.height_in_window(
+                self.grid.height_in_window_rows(
                     state.win, state.win_corner, aux["p_xy"]
                 )
                 if "p_xy" in aux else state.gh
@@ -782,7 +787,7 @@ class LeggedEnv:
             stale = state.win_stale | m
             state = state.replace(
                 gh=jnp.where(
-                    stale[:, None], env_origin[:, 2:3], gh_live
+                    stale[None, :], env_origin[None, :, 2], gh_live
                 ),
                 win_stale=stale,
             )

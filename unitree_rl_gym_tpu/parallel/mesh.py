@@ -42,12 +42,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_env_state(tree, mesh: Mesh):
     """Place a batched pytree (leading axis = env) onto the mesh, sharded
-    along the env axis; scalars/keys are replicated."""
+    along the env axis; scalars/keys are replicated. Row-layout leaves
+    (EnvState.gh [ncp, N] — the r5 terrain-carry contract,
+    physics/pallas_step.py) are sharded on axis 1 instead."""
     es = env_sharding(mesh)
     rep = replicated(mesh)
+    rows = NamedSharding(mesh, P(None, "env"))
+    # the env batch size, for recognizing row-layout leaves
+    N = getattr(getattr(tree, "episode_length", None), "shape", (0,))[0]
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] >= mesh.size:
+        if not (hasattr(x, "ndim") and x.ndim >= 1):
+            return jax.device_put(x, rep)
+        if (
+            N and x.ndim >= 2 and x.shape[0] != N and x.shape[1] == N
+            and x.shape[1] >= mesh.size
+        ):
+            return jax.device_put(x, rows)
+        if x.shape[0] >= mesh.size:
             return jax.device_put(x, es)
         return jax.device_put(x, rep)
 

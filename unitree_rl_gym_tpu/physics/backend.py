@@ -81,7 +81,7 @@ def pallas_probe_ok(model, cparams, pd, sim_dt, decimation, terrain,
     )
     kwargs = {}
     if terrain:
-        kwargs["gh"] = jnp.zeros((N, m.ncp))
+        kwargs["gh"] = jnp.zeros((m.ncp, N))    # row-layout contract
     if has_cstiff:
         kwargs["cstiff"] = jnp.ones((N,))
 
@@ -129,8 +129,10 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
     Pallas kernel doesn't apply (terrain lookups, odd batch sizes).
 
     ``want_pxy``: also emit end-of-step world point xy in
-    ``aux["p_xy"]`` [N, ncp, 2] so the env can maintain the lag-1
-    terrain-height carry uniformly across backends."""
+    ``aux["p_xy"]`` [2*ncp, N] rows (x rows then y rows — the shared
+    row-layout carry contract, pallas_step.control_step_pallas) so the
+    env can maintain the lag-1 terrain-height carry uniformly across
+    backends."""
     m = soa_model_for(model)
     N = state.joint_q.shape[0]
     nj, nv = m.nj, m.nv
@@ -183,14 +185,14 @@ def control_step_soa(model, cparams, pd, sim_dt, decimation, state,
     }
     if want_pxy:
         _, x_w = soa.point_world_positions_s(m, R_w, p_w)   # 3 x (ncp, N)
-        aux["p_xy"] = jnp.stack(
-            [jnp.transpose(x_w[0]), jnp.transpose(x_w[1])], axis=-1
-        )
+        # rows are the SoA-native layout: no transpose
+        aux["p_xy"] = jnp.concatenate([x_w[0], x_w[1]], axis=0)
     return new_state, aux
 
 
 def sample_point_heights(model, state, ground_fn):
-    """Per-contact-point ground heights [N, ncp] at step-start positions.
+    """Per-contact-point ground heights, ROW layout [ncp, N], at
+    step-start positions.
 
     The terrain formulation of the Pallas path: run FK once in XLA, gather
     the heightfield bilinearly (utils/terrain.py TerrainGrid.height_at) at
@@ -205,8 +207,7 @@ def sample_point_heights(model, state, ground_fn):
     v = [state.v[:, k] for k in range(m.nv)]
     R_w, p_w, _, _ = soa.fk_s(m, bp, bq, q, v)
     _, x_w = soa.point_world_positions_s(m, R_w, p_w)
-    gh = ground_fn(jnp.stack([x_w[0], x_w[1]], axis=-1))   # (ncp, N)
-    return jnp.transpose(gh)                               # [N, ncp]
+    return ground_fn(jnp.stack([x_w[0], x_w[1]], axis=-1))  # rows (ncp, N)
 
 
 def control_step(model, cparams, pd, sim_dt, decimation, state, target,
@@ -217,7 +218,7 @@ def control_step(model, cparams, pd, sim_dt, decimation, state, target,
     is sharded over a registered mesh (parallel/mesh.py); SoA-XLA
     otherwise.
 
-    Terrain operands: ``gh`` [N, ncp] step-start point ground heights (the
+    Terrain operands: ``gh`` [ncp, N] rows of step-start point ground heights (the
     env's lag-1 carry built from the previous step's ``aux["p_xy"]``,
     envs/base_env.py). When ``gh`` is None but ``ground_fn`` is given, the
     Pallas path falls back to :func:`sample_point_heights` (one full XLA

@@ -191,12 +191,17 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
     ``interpret=True`` runs the kernel through the Pallas interpreter
     (CPU-testable; also via env UTRL_PALLAS_INTERPRET=1).
 
-    ``gh``: [N, ncp] per-contact-point ground heights (terrain), valid at
+    ``gh``: [ncp, N] per-contact-point ground heights (terrain), valid at
     step-start point positions and frozen across the decimation loop —
     the TPU-friendly heightfield formulation: the bilinear HBM gather
     happens in XLA outside the kernel, the kernel sees a dense operand.
-    The caller obtains step-start heights either from the previous step's
-    ``aux["p_xy"]`` output (the lag-free carry, envs/base_env.py) or from
+    ROW layout (points lead, envs trail): a [ncp, N] array reshapes to
+    the kernel's (ncp, 8, N//8) tiles for FREE, where the r4 [N, ncp]
+    contract paid a full transpose per control step in each direction
+    (for G1's 176 points that was ~280 MB/iter of pure layout traffic,
+    doc/profile_r5.md). The caller obtains step-start heights either
+    from the previous step's ``aux["p_xy"]`` output ([2*ncp, N] rows: x
+    rows then y rows — the lag-free carry, envs/base_env.py) or from
     backend.sample_point_heights (one-off XLA FK)."""
     from unitree_rl_gym_tpu.physics import backend as pb
     m = pb.soa_model_for(model)
@@ -241,7 +246,8 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         pc,
     ]
     if has_gh:
-        inputs.append(_to_tiles(gh, N))          # (ncp, 8, N//8)
+        # [ncp, N] rows -> (ncp, 8, N//8) tiles: a pure reshape, no copy
+        inputs.append(gh.astype(jnp.float32).reshape(ncp, 8, N // 8))
     if has_cs:
         inputs.append(_to_tiles(cstiff, N))      # (1, 8, N//8)
 
@@ -300,8 +306,9 @@ def control_step_pallas(model, cparams, pd, sim_dt, decimation, state,
         "rb_vel_w": _from_tiles(rbv, N).reshape(N, nrb, 3),
     }
     if has_gh:
-        pxy = _from_tiles(outs[8], N)            # [N, 2*ncp]: x rows, y rows
-        aux["p_xy"] = jnp.stack([pxy[:, :ncp], pxy[:, ncp:]], axis=-1)
+        # (2*ncp, 8, N//8) tiles -> [2*ncp, N] rows: reshape only, the
+        # transpose to [N, ncp, 2] is gone (see control_step_pallas doc)
+        aux["p_xy"] = outs[8].reshape(2 * ncp, N)
     return new_state, aux
 
 
@@ -320,13 +327,17 @@ def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
 
     es = P("env")
     # optional per-env operands (terrain heights, contact-stiffness DR)
-    # ride the same env sharding; absent ones stay out of the signature so
-    # existing programs/caches are untouched
+    # ride env shardings; absent ones stay out of the signature so
+    # existing programs/caches are untouched. gh is ROW layout [ncp, N]
+    # (points replicated, envs sharded on axis 1)
     opt = {}
+    opt_specs = {}
     if gh is not None:
         opt["gh"] = gh
+        opt_specs["gh"] = P(None, "env")
     if cstiff is not None:
         opt["cstiff"] = cstiff
+        opt_specs["cstiff"] = es
 
     def local_step(state, target, friction, mass_scale, opt):
         return control_step_pallas(
@@ -335,11 +346,17 @@ def control_step_pallas_sharded(model, cparams, pd, sim_dt, decimation,
             **opt,
         )
 
+    # aux outputs: p_xy is [2*ncp, N] rows (env axis 1); everything else
+    # leads with the env axis
+    out_aux_spec = {k: es for k in
+                    ("torques", "cf_rb", "rb_pos_w", "rb_vel_w")}
+    if gh is not None:
+        out_aux_spec["p_xy"] = P(None, "env")
     fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(es, es, es, es, es),
-        out_specs=(es, es),
+        in_specs=(es, es, es, es, opt_specs),
+        out_specs=(es, out_aux_spec),
         check_vma=False,
     )
     return fn(state, target, friction, mass_scale, opt)

@@ -323,6 +323,9 @@ def run_experiment(name, out_root, ev=None, src=None):
             setattr(tgt_blk, k, v)
     tcfg.policy.init_noise_std = 0.5
     tcfg.algorithm.entropy_coef = 0.005
+    # staged-termination regimes explode the critic transiently
+    # (doc/handstand_r5_notes.md finding 3); worth the guard's ~2% here
+    tcfg.algorithm.nan_guard = True
     for k, v in algo_over.items():
         setattr(tcfg.algorithm, k, v)
     tcfg.runner.max_iterations = iters

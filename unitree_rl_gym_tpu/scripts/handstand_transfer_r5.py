@@ -93,7 +93,12 @@ class TransferEval:
             self._cap_fn = jax.jit(rollout)
         phys, obs, dones = self._cap_fn(params, seed)
         phys = jax.device_get(phys)
-        alive = ~np.asarray(dones).any(axis=0)
+        # a valid capture = termination-free for the trailing 2.5 s
+        # (100 steps): under RSI p=1 a spawn-settling termination in the
+        # first steps just resets into another inverted start, and the
+        # final state can still be a clean hold — requiring no done over
+        # the WHOLE window captured zero states from a 16/16 holder
+        alive = ~np.asarray(dones)[-100:].any(axis=0)
         gz = np.asarray(obs[:, 5])
         h = np.asarray(phys.base_pos[:, 2])
         held = np.nonzero(alive & (gz > 0.2) & (h > 0.3))[0]
@@ -168,6 +173,7 @@ def main():
     cfg.domain_rand.max_push_vel_xy = args.push_vel
     tcfg.policy.init_noise_std = 0.5
     tcfg.algorithm.entropy_coef = 0.005
+    tcfg.algorithm.nan_guard = True
     tcfg.algorithm.anchor_kl_coef = args.anchor_coef
     tcfg.algorithm.class_target_frac = 0.5
     tcfg.runner.max_iterations = args.iters

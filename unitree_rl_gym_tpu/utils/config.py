@@ -342,8 +342,13 @@ class AlgorithmCfg:
     # non-finite (params/optimizer state/LR keep their previous values
     # for that step). One critic-explosion minibatch otherwise NaNs every
     # parameter through the global-norm clip. No rsl_rl analog; semantics
-    # identical on any run that never produces a non-finite step.
-    nan_guard: bool = True
+    # identical on any run that never produces a non-finite step — but
+    # the per-minibatch where-trees measured ~5% on the recurrent path
+    # (g1 3.09M -> 2.93M env-steps/s), so it is OFF by default and
+    # enabled by the fine-tune drivers whose staged-termination regimes
+    # actually produce the explosions (scripts/handstand_*_r5.py;
+    # doc/handstand_r5_notes.md finding 3).
+    nan_guard: bool = False
 
 
 @dataclass

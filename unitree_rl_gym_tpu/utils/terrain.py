@@ -468,6 +468,35 @@ class TerrainGrid:
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, None] - gy[..., None]))
         return jnp.einsum("nxy,npx,npy->np", win, wx, wy)
 
+    def height_in_window_rows(self, win, corner, pxy_rows):
+        """Row-layout variant of :meth:`height_in_window` for the lag-1
+        terrain carry: ``pxy_rows`` is the backends' native ``aux["p_xy"]``
+        [2*P, N] (x rows then y rows) and the result is gh rows [P, N] —
+        the kernel's input layout (pallas_step.control_step_pallas), so
+        the whole carry loop runs without a single [N, k] <-> [k, N]
+        transpose (for G1's 176 points those transposes were ~280 MB/iter,
+        doc/profile_r5.md)."""
+        import jax.numpy as jnp
+
+        P = pxy_rows.shape[0] // 2
+        W = win.shape[-1]
+        gx = (
+            (pxy_rows[:P] + self.border_size) / self.horizontal_scale
+            - corner[None, :, 0]
+        )
+        gy = (
+            (pxy_rows[P:] + self.border_size) / self.horizontal_scale
+            - corner[None, :, 1]
+        )
+        gx = jnp.clip(gx, 0.0, W - 1.001)
+        gy = jnp.clip(gy, 0.0, W - 1.001)
+        ar = jnp.arange(W, dtype=jnp.float32)
+        # weights [P, N, W]; contraction batched over n like
+        # height_in_window but with (p, n) leading
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, None] - gx[..., None]))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ar[None, None] - gy[..., None]))
+        return jnp.einsum("nxy,pnx,pny->pn", win, wx, wy)
+
     def height_at(self, xy):
         """Bilinear ground height lookup; xy [..., 2] in world meters.
         World (0,0) maps to the grid's border corner like the reference
