@@ -113,3 +113,55 @@ def test_reward_scales_pruned(env):
     # scales multiplied by dt
     idx = env.reward_names.index("tracking_lin_vel")
     assert abs(env.reward_scales[idx] - 1.0 * env.dt) < 1e-9
+
+
+def test_actuation_loop_dr(env):
+    """r5 actuation-loop DR (DomainRandCfg.randomize_pd_gain /
+    action_delay_prob): per-env proportional-gain scale + 1-step
+    actuation delay, fixed at creation like the friction buckets.
+    Off by default (fields None -> exact step program preserved)."""
+    # default path: DR off, state carries no extra operands
+    state, _ = env.reset_all(jax.random.PRNGKey(0))
+    assert state.pd_gain is None and state.act_delay is None
+
+    from unitree_rl_gym_tpu.envs.go2 import go2_rough_cfg
+
+    cfg = go2_rough_cfg()
+    cfg.env.num_envs = 4
+    cfg.noise.add_noise = False
+    cfg.domain_rand.push_robots = False
+    cfg.domain_rand.randomize_pd_gain = True
+    cfg.domain_rand.pd_gain_range = (0.7, 1.3)
+    cfg.domain_rand.action_delay_prob = 0.5
+    denv = LeggedEnv(cfg)
+    state, _ = denv.reset_all(jax.random.PRNGKey(1))
+    g = np.asarray(state.pd_gain)
+    assert g.shape == (4,) and np.all((g >= 0.7) & (g <= 1.3))
+    assert state.act_delay.shape == (4,)
+
+    # behavioral check, delay: envs 0/1 identical state, env 1 delayed.
+    # First step after reset the delayed env actuates the previous
+    # (zero) action -> its joints track the big command strictly less.
+    phys0 = jax.tree.map(lambda a: a.at[1].set(a[0]), state.phys)
+    state = state.replace(
+        phys=phys0,
+        pd_gain=jnp.ones(4),
+        act_delay=jnp.asarray([False, True, False, True]),
+        actions=jnp.zeros((4, 12)),
+    )
+    big = jnp.ones((4, 12)) * 1.0
+    s1, *_ = denv.step(state, big)
+    dq = np.abs(np.asarray(s1.phys.joint_q - state.phys.joint_q))
+    assert dq[0].sum() > 2.0 * dq[1].sum()
+    # and the delayed env's obs still reports the COMMANDED action
+    assert np.allclose(np.asarray(s1.actions[1]), np.asarray(big[1]))
+
+    # behavioral check, gain: same state, gain 0.6 vs 1.4 -> the
+    # low-gain env moves strictly less toward the same target
+    state2 = state.replace(
+        pd_gain=jnp.asarray([0.6, 1.4, 1.0, 1.0]),
+        act_delay=jnp.zeros(4, bool),
+    )
+    s2, *_ = denv.step(state2, big)
+    dq2 = np.abs(np.asarray(s2.phys.joint_q - state2.phys.joint_q))
+    assert dq2[0].sum() < dq2[1].sum()

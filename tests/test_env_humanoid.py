@@ -101,6 +101,51 @@ def test_handstand_rear_target_clamp():
     assert np.all(front > 1.0)  # unclamped (action_scale 0.3 * 50)
 
 
+def test_handstand_entry_lean_reward():
+    """rewards.entry_lean: monotone planted-pivot ramp for the kick-up
+    entry (r5 shaping, no reference analog). Pays increasing reward
+    along the planted-lean path, ~0 for the ground-level dive-flip
+    (high inversion at base ~0.18 m, the r5 arrival diagnostics'
+    failure mode) and 0 upright."""
+    import types
+
+    from unitree_rl_gym_tpu.envs import rewards as R
+
+    def ctx(gz, h, front_fz):
+        n = len(gz)
+        cf = np.zeros((n, 6, 3), np.float32)
+        cf[:, 0, 2] = front_fz
+        cf[:, 1, 2] = front_fz
+        return types.SimpleNamespace(
+            projected_gravity=jnp.asarray(
+                np.stack(
+                    [np.sqrt(np.clip(1 - np.square(gz), 0, 1)),
+                     np.zeros(n), np.asarray(gz, np.float32)], axis=-1
+                )
+            ),
+            base_pos=jnp.asarray(
+                np.stack([np.zeros(n), np.zeros(n),
+                          np.asarray(h, np.float32)], axis=-1)
+            ),
+            contact_forces=jnp.asarray(cf),
+            front_feet_indices=jnp.asarray([0, 1]),
+        )
+
+    # planted path upright -> lean -> inverted band: strictly increasing
+    gz_path = [-1.0, -0.95, -0.77, -0.5, 0.0, 0.26]   # th 0..105 deg
+    h_path = [0.28, 0.27, 0.26, 0.30, 0.39, 0.52]      # FK mid-table
+    pay = np.asarray(R.entry_lean(ctx(gz_path, h_path, 50.0)))
+    assert pay[0] < 1e-3                                # upright: no pay
+    assert np.all(np.diff(pay) > 0.0)                   # monotone ramp
+    assert pay[1] > 0.15    # arccos-steep: 18 deg lean already pays
+    # dive-flip: near-perfect inversion at ground level earns ~nothing
+    dive = np.asarray(R.entry_lean(ctx([0.98], [0.18], 50.0)))
+    assert dive[0] < 0.05
+    # same lean without front-feet load: no pay (airborne doesn't count)
+    air = np.asarray(R.entry_lean(ctx([-0.5], [0.30], 0.0)))
+    assert air[0] < 1e-6
+
+
 def test_handstand_termination_not_inverted():
     cfg = go2_handstand_cfg()
     cfg.env.num_envs = 4

@@ -103,6 +103,11 @@ class EnvState(struct.PyTreeNode):
     # tasks that don't use it keep their exact program/compile cache).
     # Fixed per env at creation like the friction buckets.
     cstiff: Optional[jax.Array] = None
+    # [N] per-env actuation-loop DR (DomainRandCfg.randomize_pd_gain /
+    # action_delay_prob, r5 transfer work): proportional-gain scale and
+    # 1-step-delay mask. None when off — program identity preserved.
+    pd_gain: Optional[jax.Array] = None
+    act_delay: Optional[jax.Array] = None
 
 
 class LeggedEnv:
@@ -531,6 +536,18 @@ class LeggedEnv:
                 minval=dr.contact_stiffness_range[0],
                 maxval=dr.contact_stiffness_range[1],
             )
+        pd_gain = None
+        if getattr(dr, "randomize_pd_gain", False):
+            pd_gain = jax.random.uniform(
+                jax.random.fold_in(k_mass, 11), (N,),
+                minval=dr.pd_gain_range[0], maxval=dr.pd_gain_range[1],
+            )
+        act_delay = None
+        if getattr(dr, "action_delay_prob", 0.0) > 0.0:
+            act_delay = (
+                jax.random.uniform(jax.random.fold_in(k_mass, 13), (N,))
+                < dr.action_delay_prob
+            )
 
         episode_length = (
             jax.random.randint(k_len, (N,), 0, self.max_episode_length)
@@ -566,6 +583,8 @@ class LeggedEnv:
             ),
             task_state=task_state,
             cstiff=cstiff,
+            pd_gain=pd_gain,
+            act_delay=act_delay,
         )
         state = self.refresh_terrain(state)
         state, obs, *_ = self.step(state, jnp.zeros((N, self.num_actions)))
@@ -591,7 +610,23 @@ class LeggedEnv:
         #      fused Pallas kernel on TPU, batched SoA XLA elsewhere ----
         from unitree_rl_gym_tpu.physics import backend as pback
 
-        target = self._compute_target(actions)
+        # actuation-delay DR: delayed envs actuate the PREVIOUS control
+        # step's action (state.actions still holds it here); obs/rewards
+        # keep the commanded one — the robot-side view of a delayed loop
+        phys_actions = actions
+        if state.act_delay is not None:
+            phys_actions = jnp.where(
+                state.act_delay[:, None], state.actions, actions
+            )
+        target = self._compute_target(phys_actions)
+        if state.pd_gain is not None:
+            # per-env proportional-gain scale as a plant-side target
+            # transform: tau = kp*((q + g*(t-q)) - q) = g*kp*(t-q) on
+            # the first substep (q evolves over the decimated loop, so
+            # the effective scale drifts slightly — immaterial for DR)
+            target = state.phys.joint_q + state.pd_gain[:, None] * (
+                target - state.phys.joint_q
+            )
         model, cp, pd = self.robot.dyn, self.cparams, self.pd
         sim_dt, dec = cfg.sim.dt, cfg.control.decimation
         m_n, m_t = self.m_eff_n, self.m_eff_t

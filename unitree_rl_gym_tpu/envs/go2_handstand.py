@@ -238,7 +238,12 @@ class GO2HandstandEnv(LeggedEnv):
 
     def _build_mid_tables(self):
         """Mid-transition RSI table: pose lerped from the upright crouch
-        toward the keyframe along the kick-up (th 30..210 deg)."""
+        toward the keyframe along the kick-up (th 0..210 deg; the pose
+        stays the default crouch below 30 deg, so the th < 30 rows are
+        the ENTRY bridge — a barely-pitched planted crouch, used by the
+        r5 entry drill that chains upright stance into the braking
+        basin). Grid spacing is unchanged (7.5 deg), so interp values on
+        the original 30..210 range are bit-identical."""
         d0 = np.asarray(self.default_dof_pos)
         hs = np.asarray(self.pose_targets)
 
@@ -247,7 +252,7 @@ class GO2HandstandEnv(LeggedEnv):
                                   / np.deg2rad(120.0), 0.0, 1.0))
             return d0 + alpha * (hs - d0)
 
-        ths = np.deg2rad(np.linspace(30.0, 210.0, 25)).astype(np.float32)
+        ths = np.deg2rad(np.linspace(0.0, 210.0, 29)).astype(np.float32)
         return self._fk_table(ths, lerp_pose)
 
     def _com_feet_offset(self, th, joints):
@@ -621,6 +626,7 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
         front_feet_together=1.5,
         feet_contact_forces=0.0,
         inversion_height=0.0,   # training-time shaping; campaign recipes only
+        entry_lean=0.0,         # training-time shaping; campaign recipes only
         termination=-5.0,
         tracking_lin_vel=0.0,
         tracking_ang_vel=0.0,

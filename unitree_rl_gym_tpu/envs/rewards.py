@@ -17,6 +17,7 @@ the reset masking.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -203,6 +204,47 @@ def inversion_height(ctx):
     return hs_orientation(ctx) * hs_base_height(ctx)
 
 
+def entry_lean(ctx):
+    """Training-time shaping (no reference analog; scale 0 in the stock
+    config): a MONOTONE planted-pivot ramp for the kick-up ENTRY.
+
+    The r5 basin probe (doc/handstand_r5_notes.md finding 5) proved the
+    brake/press skill is complete — 87.5% of planted mid-transition
+    states across th 40-140 deg x w 1-14 rad/s convert to >= 3 s holds —
+    and localized the single broken link to upright stance -> planted
+    ~40 deg lean. The working hypothesis for why five recipes failed to
+    close it: the multi-step CoM-shift has NO reward gradient under the
+    stock terms until the lean is substantial (`inversion_height` only
+    pays once inverted AND high), while the dive-flip alternative is
+    reachable in 2-3 actions. This term supplies the missing gradient:
+
+      pay = sqrt(th / 110 deg) * front_planted * height_gate
+
+    * th = arccos(-g_z), the tilt off vertical: 0 upright -> pi
+      inverted. arccos is steep near g_z = -1, so the FIRST degrees of
+      lean already move the reward — exactly where exploration from a
+      standing policy needs signal.  sqrt steepens it further.
+    * front_planted gates on the front feet carrying load, so only the
+      pivot-over-planted-feet path pays (the r3 lesson: airborne
+      braking practice transfers nothing).
+    * height_gate (sigmoid at 0.235 m) separates the legitimate pivot
+      from the dive-flip with measured margin: the planted-pivot FK path
+      never drops below 0.258 m (mid-table, th 30-150 deg) while the
+      dive's base sits at 0.13-0.21 m (r5 arrival diagnostics) — the
+      flip earns ~0 here at any inversion.
+    Monotone to a plateau at th >= 110 deg, so there is always gradient
+    toward the hold band and no partial-lean optimum from this term
+    alone (the hold itself out-pays the plateau via pose/contact terms).
+    """
+    gz = jnp.clip(ctx.projected_gravity[:, 2], -1.0, 1.0)
+    th = jnp.arccos(-gz)
+    ramp = jnp.sqrt(jnp.clip(th / jnp.deg2rad(110.0), 0.0, 1.0))
+    front = (ctx.contact_forces[:, ctx.front_feet_indices, 2] > 5.0)
+    planted = jnp.mean(front.astype(jnp.float32), axis=1)
+    hgate = jax.nn.sigmoid((ctx.base_pos[:, 2] - 0.235) / 0.015)
+    return ramp * planted * hgate
+
+
 def front_feet_contact(ctx):
     c = (ctx.contact_forces[:, ctx.front_feet_indices, 2] > 5.0).astype(
         jnp.float32
@@ -297,6 +339,7 @@ HANDSTAND_REWARDS = dict(
     orientation=hs_orientation,
     base_height=hs_base_height,
     inversion_height=inversion_height,
+    entry_lean=entry_lean,
     front_feet_contact=front_feet_contact,
     hind_feet_no_contact=hind_feet_no_contact,
     pose=pose,

@@ -181,6 +181,35 @@ EXPERIMENTS = {
                  rew_orientation=0.5, rew_inversion_height=8.0),
             dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                  clip_param=0.2)),
+    # entry-GRADIENT drill (the r5 wrap-up recipe). E12 drilled entry
+    # STATES (th 30-75 leans) and still converted 0: the remaining
+    # hypothesis (doc/handstand_r5_notes.md, E12 results) is that the
+    # upright -> lean sequence has no reward GRADIENT under the stock
+    # terms — inversion_height only pays once inverted AND high, while
+    # upright idle banks stay_still+stability (~3/step) and the first
+    # degrees of lean pay nothing. E13 supplies the gradient directly:
+    # the new rewards.entry_lean ramp (arccos-steep near upright, gated
+    # on planted front feet AND base > 0.235 m so the dive-flip earns
+    # ~0), cuts the idle payout (stay_still/stability 0.3) and the
+    # anti-rock penalty (lin_vel_xy -0.5 — the entry IS a CoM
+    # translation), zeroes flat orientation entirely, drills the entry
+    # bridge (mid th 5-60, the new sub-30-deg mid-table rows), and
+    # widens the re-weighting class to g_z > -0.95 (th >= 18 deg) so
+    # even shallow leans aren't drowned by upright idle. Anchor mask
+    # stays g_z > 0: the hold is pinned, everything below the horizon
+    # is free to change.
+    "E13": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.35,
+                 handstand_anneal_steps=24000.0, handstand_mid_frac=0.45,
+                 handstand_mid_th_deg=(5.0, 60.0),
+                 handstand_mid_w=(0.3, 2.5),
+                 handstand_class_gz_threshold=-0.95,
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=0.0, rew_inversion_height=8.0,
+                 rew_entry_lean=6.0, rew_stay_still=0.3,
+                 rew_stability=0.3, rew_lin_vel_xy=-0.5),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,

@@ -155,6 +155,16 @@ def main():
     ap.add_argument("--stiff", type=float, nargs=2, default=(0.7, 1.5))
     ap.add_argument("--push-interval", type=float, default=3.0)
     ap.add_argument("--push-vel", type=float, default=0.4)
+    # r5 second pass: the contact/friction/push-only run kept the
+    # in-engine hold at 1.00 yet transferred 0/8 — over-rotation in
+    # MuJoCo is a feedback-LOOP symptom, so randomize the loop itself
+    # (per-env kp scale + 1-step actuation delay, DomainRandCfg)
+    ap.add_argument("--pd-gain", type=float, nargs=2, default=None,
+                    help="enable per-env proportional-gain DR, e.g. "
+                         "--pd-gain 0.8 1.2")
+    ap.add_argument("--delay-prob", type=float, default=0.0,
+                    help="fraction of envs actuating with a "
+                         "1-control-step delay")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -171,6 +181,10 @@ def main():
     cfg.domain_rand.push_robots = True
     cfg.domain_rand.push_interval_s = args.push_interval
     cfg.domain_rand.max_push_vel_xy = args.push_vel
+    if args.pd_gain is not None:
+        cfg.domain_rand.randomize_pd_gain = True
+        cfg.domain_rand.pd_gain_range = tuple(args.pd_gain)
+    cfg.domain_rand.action_delay_prob = args.delay_prob
     tcfg.policy.init_noise_std = 0.5
     tcfg.algorithm.entropy_coef = 0.005
     tcfg.algorithm.nan_guard = True

@@ -170,6 +170,21 @@ class DomainRandCfg:
     # but the knob remains useful for cross-engine robustness.)
     randomize_contact_stiffness: bool = False
     contact_stiffness_range: Tuple[float, float] = (0.5, 3.0)
+    # Actuation-loop DR (no reference analog; r5 transfer work). The
+    # handstand hold transfers 0/8 to MuJoCo under contact/friction/push
+    # DR alone — over-rotation is a feedback-loop symptom (loop gain /
+    # phase mismatch between engines), so randomize the loop itself:
+    # * per-env proportional-gain scale, applied as a target transform
+    #   q + g*(target - q) in the env step (exactly g*kp*(target-q) on
+    #   the first substep; plant-side DR needs no backend change)
+    # * per-env 1-control-step actuation delay (the classic sim2real
+    #   phase-margin lever): delayed envs actuate the PREVIOUS step's
+    #   policy action; observations still report the commanded one.
+    # Both fixed per env at creation, like the friction buckets; None/off
+    # keeps the exact step program (compile cache + golden traces).
+    randomize_pd_gain: bool = False
+    pd_gain_range: Tuple[float, float] = (0.8, 1.2)
+    action_delay_prob: float = 0.0
 
 
 def base_reward_scales() -> Dict[str, float]:
