@@ -146,6 +146,40 @@ def test_handstand_entry_lean_reward():
     assert air[0] < 1e-6
 
 
+def test_handstand_pre_inversion_crouch_penalty():
+    """rewards.pre_inversion_crouch (r5 dive-morphing shaping, negative
+    scale): pays (as a penalty magnitude) only for a LOW base in the
+    transition region — the dive-flip's signature — not for upright
+    idle, the hold band, or the tall planted pivot path."""
+    import types
+
+    from unitree_rl_gym_tpu.envs import rewards as R
+
+    def ctx(gz, h):
+        n = len(gz)
+        return types.SimpleNamespace(
+            projected_gravity=jnp.asarray(
+                np.stack([np.zeros(n), np.zeros(n),
+                          np.asarray(gz, np.float32)], axis=-1)
+            ),
+            base_pos=jnp.asarray(
+                np.stack([np.zeros(n), np.zeros(n),
+                          np.asarray(h, np.float32)], axis=-1)
+            ),
+        )
+
+    #                 dive-mid  upright  hold   tall-pivot  lying-flat
+    pay = np.asarray(R.pre_inversion_crouch(
+        ctx([0.0,      -1.0,    0.30,   0.0,        -1.0],
+            [0.17,      0.28,   0.50,   0.39,        0.10])
+    ))
+    assert pay[0] > 0.03          # the dive sweep is penalized
+    assert pay[1] < 1e-3          # upright idle: no pay (height fine)
+    assert pay[2] < 1e-3          # hold band: gated out (g_z > 0.15)
+    assert pay[3] < 1e-3          # legit pivot at height: no depth
+    assert pay[4] < 0.01          # fallen upright-ish: gated out
+
+
 def test_handstand_termination_not_inverted():
     cfg = go2_handstand_cfg()
     cfg.env.num_envs = 4

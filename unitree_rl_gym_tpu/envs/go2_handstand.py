@@ -627,6 +627,7 @@ def go2_handstand_cfg() -> LeggedRobotCfg:
         feet_contact_forces=0.0,
         inversion_height=0.0,   # training-time shaping; campaign recipes only
         entry_lean=0.0,         # training-time shaping; campaign recipes only
+        pre_inversion_crouch=0.0,  # training-time shaping (negative scale)
         termination=-5.0,
         tracking_lin_vel=0.0,
         tracking_ang_vel=0.0,

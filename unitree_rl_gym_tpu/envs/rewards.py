@@ -245,6 +245,28 @@ def entry_lean(ctx):
     return ramp * planted * hgate
 
 
+def pre_inversion_crouch(ctx):
+    """Penalty shaping, use with a NEGATIVE scale (no reference analog;
+    scale 0 in the stock config): depth of the base below 0.235 m while
+    in the TRANSITION region (-0.8 < g_z < 0.15, two-sided sigmoid
+    gate). Rationale (r5): the dive-flip is the policy's deterministic
+    primitive from upright — per-step sigma noise never finds the
+    multi-step planted rock, so instead of waiting for exploration this
+    term creates a gradient that lifts the existing flip a little every
+    update (its base sweeps 0.13-0.21 m through exactly this gate)
+    until it becomes a tall pivot, which the press basin catches
+    (94% conversion from planted leans, E13). The legitimate pivot
+    path never dips below 0.258 m (FK mid-table) and upright idle
+    (g_z ~ -1) and the hold band (g_z >= 0.24) are outside the gate, so
+    neither pays."""
+    gz = ctx.projected_gravity[:, 2]
+    depth = jnp.clip(0.235 - ctx.base_pos[:, 2], 0.0, None)
+    gate = jax.nn.sigmoid((0.15 - gz) / 0.05) * jax.nn.sigmoid(
+        (gz + 0.8) / 0.05
+    )
+    return depth * gate
+
+
 def front_feet_contact(ctx):
     c = (ctx.contact_forces[:, ctx.front_feet_indices, 2] > 5.0).astype(
         jnp.float32
@@ -340,6 +362,7 @@ HANDSTAND_REWARDS = dict(
     base_height=hs_base_height,
     inversion_height=inversion_height,
     entry_lean=entry_lean,
+    pre_inversion_crouch=pre_inversion_crouch,
     front_feet_contact=front_feet_contact,
     hind_feet_no_contact=hind_feet_no_contact,
     pose=pose,

@@ -210,6 +210,52 @@ EXPERIMENTS = {
                  rew_stability=0.3, rew_lin_vel_xy=-0.5),
             dict(anchor_kl_coef=1.0, class_target_frac=0.5,
                  clip_param=0.2)),
+    # boundary drill (chain from E13's final via --src). E13's entry
+    # gradient moved the basin edge all the way down: 94.1% of planted
+    # th 5-60 / w 0.3-2.5 leans convert to >= 3 s holds — yet from TRUE
+    # upright the deterministic policy still dive-flips (arrival diag:
+    # min_h med 0.15, entry d(gz)/dt ~10/s). The remaining boundary is
+    # sharp in OBS space: a th >= ~2 deg pivot has the hind contact
+    # flags at 0 (rotation about the front feet lifts them ~1 cm+),
+    # while upright has them at 1 — the policy discriminates on the
+    # flags and keeps its inherited dive in the hind-loaded region.
+    # E14 drills the continuum ACROSS the flag boundary: mid th 0-40
+    # (th=0 w=0 IS the upright start, planted at FK height), w from 0,
+    # heavier mid share, rewards as E13.
+    "E14": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.3,
+                 handstand_anneal_steps=24000.0, handstand_mid_frac=0.55,
+                 handstand_mid_th_deg=(0.0, 40.0),
+                 handstand_mid_w=(0.0, 2.0),
+                 handstand_class_gz_threshold=-0.95,
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=0.0, rew_inversion_height=8.0,
+                 rew_entry_lean=6.0, rew_stay_still=0.3,
+                 rew_stability=0.3, rew_lin_vel_xy=-0.5),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
+    # dive-morphing drill (chain via --src). The per-step sigma noise
+    # never samples the coherent multi-step rock from upright, so the
+    # dive-flip stays the deterministic primitive there no matter how
+    # richly the lean PAYS (E13/E14). E15 stops waiting for exploration
+    # and morphs the primitive itself: rewards.pre_inversion_crouch
+    # penalizes the base dipping below 0.235 m in the transition region
+    # (exactly where the dive sweeps, 0.13-0.21 m), so every PPO update
+    # lifts the flip a little until it becomes the tall planted pivot
+    # the press basin catches (94% conversion from planted leans).
+    "E15": (6000,
+            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.3,
+                 handstand_anneal_steps=24000.0, handstand_mid_frac=0.55,
+                 handstand_mid_th_deg=(0.0, 40.0),
+                 handstand_mid_w=(0.0, 2.0),
+                 handstand_class_gz_threshold=-0.95,
+                 fallen_grace_s=8.0, illegal_contact_grace_s=1.5,
+                 rew_orientation=0.0, rew_inversion_height=8.0,
+                 rew_entry_lean=6.0, rew_stay_still=0.3,
+                 rew_stability=0.3, rew_lin_vel_xy=-0.5,
+                 rew_pre_inversion_crouch=-30.0),
+            dict(anchor_kl_coef=1.0, class_target_frac=0.5,
+                 clip_param=0.2)),
     # grace re-tightening fine-tune (resume E4's best via --src)
     "E5": (3000,
            dict(handstand_init_prob=1.0, handstand_init_prob_final=0.5,
